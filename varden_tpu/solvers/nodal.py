@@ -1,0 +1,390 @@
+"""Node-centered variable-coefficient Poisson multigrid (the "hg" solver).
+
+TPU-native equivalent of FBoxLib's ml_nd_solve + ND_DENSE nodal stencil
+consumed by the reference's hg_multigrid wrapper (src/hg_multigrid.f90:95-105,
+src/hgproject.f90:52): solves the weak-form system
+
+    A(sigma) phi = b(u),   A_ij = sum_cells sigma_c ∫ ∇N_i·∇N_j,
+                           b_i  = sum_cells u_c · ∫_c ∇N_i,
+
+with bilinear (2-D) / trilinear (3-D) nodal basis functions and cell-wise
+constant sigma = 1/rho — the FEM "dense" stencil. Boundary handling:
+  periodic axes wrap (n nodes); Neumann (walls/inflow) is natural (sigma
+  zero-extended); Dirichlet (outflow pressure) masks boundary nodes to 0.
+
+Multigrid uses weighted-Jacobi smoothing, P^T restriction / linear-interp
+prolongation (for nested FEM spaces P^T A P reproduces the rediscretized
+coarse operator), and a BiCGStab bottom solver.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mg import bicgstab
+
+JACOBI_OMEGA = 0.85
+DEFAULT_NU1 = 3
+DEFAULT_NU2 = 3
+DEFAULT_MAX_CYCLES = 100  # hg_multigrid.f90:66
+BOTTOM_SIZE = 4
+
+
+def element_matrix(dx: Sequence[float]) -> np.ndarray:
+    """FEM element stiffness for a d-linear element, K[(i...),(j...)] with
+    local node multi-indices in {0,1}^dm (numpy, computed at trace time)."""
+    dm = len(dx)
+    S = [np.array([[1.0, -1.0], [-1.0, 1.0]]) / h for h in dx]
+    M = [np.array([[2.0, 1.0], [1.0, 2.0]]) * (h / 6.0) for h in dx]
+    K = np.zeros((2,) * dm * 2)
+    for d in range(dm):
+        term = np.ones(())
+        mats = [S[t] if t == d else M[t] for t in range(dm)]
+        term = mats[0]
+        for m in mats[1:]:
+            term = np.multiply.outer(term, m)
+        # term currently indexed (i0,j0,i1,j1,...): reorder to (i...,j...)
+        perm = [2 * t for t in range(dm)] + [2 * t + 1 for t in range(dm)]
+        K += np.transpose(term, perm)
+    return K
+
+
+def _pad_cell(f, pmask, dm, fill=0.0):
+    """Pad a cell array with one ghost per axis: wrap if periodic else fill."""
+    for d in range(dm):
+        axis = f.ndim - dm + d
+
+        def take(i0, i1):
+            sl = [slice(None)] * f.ndim
+            sl[axis] = slice(i0, i1)
+            return f[tuple(sl)]
+
+        if pmask[d]:
+            lo, hi = take(-1, None), take(0, 1)
+        else:
+            shape = list(f.shape)
+            shape[axis] = 1
+            lo = hi = jnp.full(shape, fill, f.dtype)
+            lo = jnp.full(shape, fill, f.dtype)
+            hi = jnp.full(shape, fill, f.dtype)
+        f = jnp.concatenate([lo, f, hi], axis=axis)
+    return f
+
+
+def _shift_node(phi, offset, pmask, dm):
+    """phi[i+offset] on the node lattice: wrap on periodic axes, zero-extend
+    on physical axes (coefficients there are exactly zero)."""
+    out = phi
+    for d in range(dm):
+        o = offset[d]
+        if o == 0:
+            continue
+        axis = out.ndim - dm + d
+        if pmask[d]:
+            out = jnp.roll(out, -o, axis=axis)
+        else:
+            n = out.shape[axis]
+            pad_shape = list(out.shape)
+            pad_shape[axis] = 1
+            zero = jnp.zeros(pad_shape, out.dtype)
+            if o == 1:
+                sl = [slice(None)] * out.ndim
+                sl[axis] = slice(1, None)
+                out = jnp.concatenate([out[tuple(sl)], zero], axis=axis)
+            else:
+                sl = [slice(None)] * out.ndim
+                sl[axis] = slice(0, n - 1)
+                out = jnp.concatenate([zero, out[tuple(sl)]], axis=axis)
+    return out
+
+
+def stencil_coeffs(sigma, dx, pmask, dm):
+    """27/9-point nodal stencil coefficient arrays from cell-wise sigma.
+
+    Returns {offset: coeff-array-on-nodes}. For each node-offset o and each
+    adjacent cell position c in {-1,0}^dm, the cell contributes
+    K[-c, o-c] * sigma[cell i+c] when o-c is a valid local node.
+    """
+    K = element_matrix(dx)
+    sp = _pad_cell(sigma, pmask, dm)  # cell k -> padded index k+1
+    node_shape = tuple(sigma.shape[sigma.ndim - dm + d] + (0 if pmask[d] else 1)
+                       for d in range(dm))
+    coeffs = {}
+    for o in itertools.product((-1, 0, 1), repeat=dm):
+        acc = None
+        for c in itertools.product((-1, 0), repeat=dm):
+            li = tuple(-cd for cd in c)
+            lj = tuple(o[d] - c[d] for d in range(dm))
+            if any(l not in (0, 1) for l in lj):
+                continue
+            w = float(K[li + lj])
+            # window of sigma for cells i+c over node range
+            sl = [slice(None)] * sp.ndim
+            for d in range(dm):
+                axis = sp.ndim - dm + d
+                start = c[d] + 1
+                sl[axis] = slice(start, start + node_shape[d])
+            contrib = w * sp[tuple(sl)]
+            acc = contrib if acc is None else acc + contrib
+        if acc is not None:
+            coeffs[o] = acc
+    return coeffs
+
+
+@dataclasses.dataclass(frozen=True)
+class NodalLevel:
+    n: Tuple[int, ...]            # cells per axis
+    dx: Tuple[float, ...]
+    pmask: Tuple[bool, ...]
+    coeffs: dict                  # offset -> coefficient array on nodes
+    mask: Optional[jnp.ndarray]   # 1 = solve, 0 = Dirichlet(0) node; None = no mask
+
+    @property
+    def dm(self):
+        return len(self.n)
+
+
+def nd_apply(level: NodalLevel, phi):
+    if level.mask is not None:
+        phi = phi * level.mask
+    out = None
+    for o, cf in level.coeffs.items():
+        term = cf * _shift_node(phi, o, level.pmask, level.dm)
+        out = term if out is None else out + term
+    if level.mask is not None:
+        out = out * level.mask
+    return out
+
+
+def jacobi(level: NodalLevel, phi, rhs, nsweeps, omega=JACOBI_OMEGA):
+    diag = level.coeffs[(0,) * level.dm]
+    inv = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    for _ in range(nsweeps):
+        r = rhs - nd_apply(level, phi)
+        upd = omega * r * inv
+        if level.mask is not None:
+            upd = upd * level.mask
+        phi = phi + upd
+    return phi
+
+
+def _restrict(r, pmask, dm):
+    """P^T full-weighting with per-axis weights (1/2, 1, 1/2)."""
+    for d in range(dm):
+        axis = r.ndim - dm + d
+        rm = _shift_node(r, tuple(-1 if t == d else 0 for t in range(dm)), pmask, dm)
+        rp = _shift_node(r, tuple(+1 if t == d else 0 for t in range(dm)), pmask, dm)
+        r = r + 0.5 * (rm + rp)
+        sl = [slice(None)] * r.ndim
+        sl[axis] = slice(0, None, 2)
+        r = r[tuple(sl)]
+    return r
+
+
+def _prolong(c, fine_node_shape, pmask, dm):
+    """Linear interpolation: even fine nodes = coarse, odd = neighbor avg."""
+    for d in range(dm):
+        axis = c.ndim - dm + d
+        nf = fine_node_shape[d]
+        cp = _shift_node(c, tuple(+1 if t == d else 0 for t in range(dm)), pmask, dm)
+        mid = 0.5 * (c + cp)
+        stacked = jnp.stack([c, mid], axis=axis + 1)
+        new_shape = list(c.shape)
+        new_shape[axis] = 2 * c.shape[axis]
+        out = stacked.reshape(new_shape)
+        if not pmask[d]:
+            sl = [slice(None)] * out.ndim
+            sl[axis] = slice(0, nf)
+            out = out[tuple(sl)]
+        c = out
+    return c
+
+
+def _coarsen_mask(mask, pmask, dm):
+    if mask is None:
+        return None
+    for d in range(dm):
+        axis = mask.ndim - dm + d
+        sl = [slice(None)] * mask.ndim
+        sl[axis] = slice(0, None, 2)
+        mask = mask[tuple(sl)]
+    return mask
+
+
+def _cell_avg(f, dm):
+    for d in range(dm):
+        axis = f.ndim - dm + d
+        a = [slice(None)] * f.ndim
+        b = [slice(None)] * f.ndim
+        a[axis] = slice(0, None, 2)
+        b[axis] = slice(1, None, 2)
+        f = 0.5 * (f[tuple(a)] + f[tuple(b)])
+    return f
+
+
+def build_hierarchy(n, dx, pmask, sigma, mask) -> List[NodalLevel]:
+    dm = len(n)
+    levels = []
+    n = list(n)
+    dx = list(dx)
+    while True:
+        coeffs = stencil_coeffs(sigma, dx, pmask, dm)
+        levels.append(NodalLevel(tuple(n), tuple(dx), tuple(pmask), coeffs, mask))
+        if any(s % 2 != 0 or s <= BOTTOM_SIZE for s in n):
+            break
+        n = [s // 2 for s in n]
+        dx = [2.0 * h for h in dx]
+        sigma = _cell_avg(sigma, dm)
+        mask = _coarsen_mask(mask, pmask, dm)
+    return levels
+
+
+def node_shape(n, pmask):
+    return tuple(nd if p else nd + 1 for nd, p in zip(n, pmask))
+
+
+def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2):
+    level = levels[lev]
+    if lev == len(levels) - 1:
+        phi = jacobi(level, phi, rhs, 2)
+        r = rhs - nd_apply(level, phi)
+        delta = bicgstab(partial(nd_apply, level), r, jnp.zeros_like(r), 1.0e-3)
+        if level.mask is not None:
+            delta = delta * level.mask
+        return phi + delta
+    phi = jacobi(level, phi, rhs, nu1)
+    res = rhs - nd_apply(level, phi)
+    crs_rhs = _restrict(res, level.pmask, level.dm)
+    nxt = levels[lev + 1]
+    if nxt.mask is not None:
+        crs_rhs = crs_rhs * nxt.mask
+    corr = jnp.zeros_like(crs_rhs)
+    corr = v_cycle(levels, corr, crs_rhs, lev + 1, nu1, nu2)
+    fine_ns = node_shape(level.n, level.pmask)
+    corr_f = _prolong(corr, fine_ns, level.pmask, level.dm)
+    if level.mask is not None:
+        corr_f = corr_f * level.mask
+    phi = phi + corr_f
+    phi = jacobi(level, phi, rhs, nu2)
+    return phi
+
+
+def divu_rhs(u, dx, pmask, dm, inflow_pad=None):
+    """Weak-form divergence source b_i = sum_cells u_c · ∫_c ∇N_i.
+
+    ``u``: (dm, *cells) interior velocity. ``inflow_pad``: optional function
+    (comp, d, side) -> ghost value for EXT_DIR inflow faces; other physical
+    ghosts are zero (walls via create_uvec zeroing, hgproject.f90:424-427).
+    """
+    comps = []
+    for c in range(dm):
+        f = u[c]
+        for d in range(dm):
+            axis = f.ndim - dm + d
+
+            def take(i0, i1):
+                sl = [slice(None)] * f.ndim
+                sl[axis] = slice(i0, i1)
+                return f[tuple(sl)]
+
+            if pmask[d]:
+                lo, hi = take(-1, None), take(0, 1)
+            else:
+                shape = list(f.shape)
+                shape[axis] = 1
+                lo_val = 0.0 if inflow_pad is None else inflow_pad(c, d, 0)
+                hi_val = 0.0 if inflow_pad is None else inflow_pad(c, d, 1)
+                lo = jnp.full(shape, lo_val, f.dtype)
+                hi = jnp.full(shape, hi_val, f.dtype)
+            f = jnp.concatenate([lo, f, hi], axis=axis)
+        comps.append(f)
+
+    rhs = None
+    vol_fac = [np.prod([dx[t] / 2.0 for t in range(dm) if t != d])
+               for d in range(dm)]
+    ns = node_shape(tuple(u.shape[-dm:]), pmask)
+    for d in range(dm):
+        up = comps[d]
+        acc = None
+        for c in itertools.product((-1, 0), repeat=dm):
+            sl = [slice(None)] * up.ndim
+            for t in range(dm):
+                axis = up.ndim - dm + t
+                start = c[t] + 1
+                sl[axis] = slice(start, start + ns[t])
+            sgn = 1.0 if c[d] == -1 else -1.0
+            term = sgn * up[tuple(sl)]
+            acc = term if acc is None else acc + term
+        term = float(vol_fac[d]) * acc
+        rhs = term if rhs is None else rhs + term
+    return rhs
+
+
+def cell_grad(phi, dx, pmask, dm):
+    """Average nodal->cell gradient (reference mkgphi, hgproject.f90:517-577).
+
+    Returns (dm, *cells)."""
+    grads = []
+    for d in range(dm):
+        acc = None
+        nshape = phi.shape[phi.ndim - dm:]
+        for corner in itertools.product((0, 1), repeat=dm):
+            out = phi
+            for t in range(dm):
+                o = corner[t]
+                axis = out.ndim - dm + t
+                if pmask[t]:
+                    if o == 1:
+                        out = jnp.roll(out, -1, axis=axis)
+                else:
+                    sl = [slice(None)] * out.ndim
+                    n_cells = nshape[t] - 1
+                    sl[axis] = slice(o, o + n_cells)
+                    out = out[tuple(sl)]
+            sgn = 1.0 if corner[d] == 1 else -1.0
+            term = sgn * out
+            acc = term if acc is None else acc + term
+        grads.append(acc / (2.0 ** (dm - 1) * dx[d]))
+    return jnp.stack(grads)
+
+
+def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
+          rel_eps=1.0e-11, abs_eps=-1.0, max_cycles=DEFAULT_MAX_CYCLES):
+    """Solve A(sigma) phi = rhs on the node lattice. Returns (phi, resnorm)."""
+    dm = len(n)
+    levels = build_hierarchy(list(n), list(dx), list(pmask), sigma, mask)
+    singular = mask is None
+
+    if mask is not None:
+        rhs = rhs * mask
+    if singular:
+        rhs = rhs - jnp.mean(rhs)
+    if phi0 is None:
+        phi0 = jnp.zeros_like(rhs)
+
+    bnorm = jnp.max(jnp.abs(rhs))
+    tol = jnp.maximum(rel_eps * bnorm,
+                      jnp.asarray(0.0 if abs_eps < 0 else abs_eps, rhs.dtype))
+
+    def resnorm(phi):
+        return jnp.max(jnp.abs(rhs - nd_apply(levels[0], phi)))
+
+    def cond(carry):
+        _, k, rn = carry
+        return jnp.logical_and(k < max_cycles, rn > tol)
+
+    def body(carry):
+        phi, k, _ = carry
+        phi = v_cycle(levels, phi, rhs)
+        if singular:
+            phi = phi - jnp.mean(phi)
+        return phi, k + 1, resnorm(phi)
+
+    phi, _, rn = jax.lax.while_loop(cond, body, (phi0, jnp.array(0), resnorm(phi0)))
+    return phi, rn

@@ -1,0 +1,70 @@
+"""Headline benchmark: cell-updates/sec on the full advance_timestep.
+
+Runs the 3-D variable-density bubble (the reference's flagship regression
+config, scaled up) on whatever accelerator is attached, times steady-state
+steps of the fully-jitted timestep, and prints ONE JSON line.
+
+vs_baseline uses BASELINE.md's generated-baseline convention: the reference
+publishes no numbers (BASELINE.json "published": {}), so we normalize against
+an estimated single-node Fortran VARDEN throughput of 2.0e6 cell-updates/s
+(O(1 us)/cell/step for the full Godunov + 2 MG solves pipeline on one CPU
+node — documented assumption, to be replaced by a measured Fortran run).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ASSUMED_FORTRAN_BASELINE = 2.0e6  # cell-updates/sec, single node (see above)
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    from varden_tpu.config import VardenConfig
+    from varden_tpu.state import Sim
+    from varden_tpu import advance, problems, projection
+
+    cfg = VardenConfig(
+        dim_in=3, prob_type=1, n_cellx=n, n_celly=n, n_cellz=n,
+        bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15,
+        grav=-9.8, visc_coef=1e-3, cflfac=0.5, dtype=dtype)
+    sim = Sim(cfg)
+    state = problems.initdata(sim)
+
+    @jax.jit
+    def step(state, dt):
+        new_state, _ = advance.advance_timestep(
+            sim, state, dt, projection.REGULAR_TIMESTEP)
+        return new_state
+
+    dt = jnp.asarray(5e-4, sim.dtype)
+    # warmup / compile
+    state = step(state, dt)
+    jax.block_until_ready(state.u)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = step(state, dt)
+    jax.block_until_ready(state.u)
+    elapsed = time.perf_counter() - t0
+
+    cells = n ** 3
+    cups = cells * steps / elapsed
+    print(json.dumps({
+        "metric": f"cell-updates/sec/chip, 3D {n}^3 variable-density bubble, "
+                  f"full timestep ({dtype})",
+        "value": round(cups, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(cups / ASSUMED_FORTRAN_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -9,6 +9,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # TPU plugins may ignore the env var
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: MG/projection graphs take ~10-30s to compile on
 # CPU; cache them across test processes.

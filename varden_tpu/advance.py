@@ -1,0 +1,171 @@
+"""One full timestep: the reference's advance_timestep call stack
+(src/advance_timestep.f90:26-170) — premac (src/advance_premac.f90:17-61),
+MAC projection, scalar_advance (src/scalar_advance.f90:17-173),
+make_at_halftime, velocity_advance (src/velocity_advance.f90:17-142), and the
+nodal projection — as one pure jittable function of (state, dt).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from . import projection
+from .ops import basic, godunov
+from .bc import grow_mac
+from .state import Sim, State
+
+
+def embed_faces(sim: Sim, umac, ng: int):
+    """Embed interior MAC components into ghost-padded cell-aligned arrays
+    (face i at padded index ng+i) with one valid tangential ghost layer —
+    the single-level analogue of create_umac_grown/fill_boundary
+    (reference macproject.f90:107-120)."""
+    dm, n = sim.dm, sim.n_cell
+    grown = grow_mac(umac, 1, sim.pmask)
+    out = []
+    for d in range(dm):
+        shape = tuple(s + 2 * ng for s in n)
+        arr = jnp.zeros(shape, umac[d].dtype)
+        sl = []
+        for t in range(dm):
+            if t == d:
+                sl.append(slice(ng, ng + n[t] + 1))
+            else:
+                sl.append(slice(ng - 1, ng + n[t] + 1))
+        out.append(arr.at[tuple(sl)].set(grown[d]))
+    return tuple(out)
+
+
+def lap_velocity(sim: Sim, u: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([projection.get_explicit_diffusive_term(sim, u[d], d)
+                      for d in range(sim.dm)])
+
+
+def lap_tracers(sim: Sim, s: jnp.ndarray) -> jnp.ndarray:
+    out = [jnp.zeros_like(s[0])]
+    for i in range(1, s.shape[0]):
+        out.append(projection.get_explicit_diffusive_term(sim, s[i],
+                                                          sim.scal_comp(i)))
+    return jnp.stack(out)
+
+
+def advance_timestep(sim: Sim, state: State, dt, proj_type: int
+                     ) -> Tuple[State, Dict[str, jnp.ndarray]]:
+    cfg = sim.cfg
+    dm, dx, n, ng = sim.dm, sim.dx, sim.n_cell, sim.ng
+    uold, sold, gp, p = state.u, state.s, state.gp, state.p
+    adv_bc_vel = [sim.adv_bc[d] for d in range(dm)]
+    adv_bc_scal = [sim.adv_bc[sim.scal_comp(i)] for i in range(sim.nscal)]
+
+    mac_rhs = jnp.zeros(n, sim.dtype)  # no divu sources in this app
+
+    # ---- explicit viscous term at t^n (advance_timestep.f90:85-93)
+    if cfg.visc_coef > 0.0:
+        lapu = lap_velocity(sim, uold)
+    else:
+        lapu = jnp.zeros_like(uold)
+
+    # ---- premac: cell force then Godunov MAC prediction
+    vel_force = basic.mkvelforce(cfg.ext_force, sold, gp, lapu,
+                                 cfg.visc_coef, 1.0, cfg.boussinesq)
+    u_pad = sim.fill_vel(uold)
+    vf_pad = sim.fill_extrap(vel_force, ng)
+    if dm == 2:
+        umac = godunov.velpred_2d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                                  adv_bc_vel, ng, n, cfg.slope_order,
+                                  cfg.use_minion)
+    else:
+        from .ops import godunov3d
+        umac = godunov3d.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                                    adv_bc_vel, ng, n, cfg.slope_order,
+                                    cfg.use_minion)
+
+    # ---- MAC projection
+    umac, div_b, div_a = projection.macproject(sim, umac, sold[0], mac_rhs)
+
+    # ---- scalar advance
+    if cfg.diff_coef > 0.0:
+        laps = lap_tracers(sim, sold)
+    else:
+        laps = jnp.zeros_like(sold)
+    ext_scal = jnp.zeros_like(sold)
+    scal_force = basic.mkscalforce(ext_scal, laps, cfg.diff_coef, 1.0)
+    is_cons = [True] + [False] * (sim.nscal - 1)
+
+    s_pad = sim.fill_scal(sold)
+    sf_pad = sim.fill_extrap(scal_force, ng)
+    mrhs_pad = sim.fill_extrap(mac_rhs, ng)
+    mac_pads = embed_faces(sim, umac, ng)
+    if dm == 2:
+        sedgex, sedgey, fluxx, fluxy = godunov.mkflux_2d(
+            s_pad, mac_pads[0], mac_pads[1], sf_pad, mrhs_pad, dt, dx,
+            sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
+            cfg.slope_order, cfg.use_minion)
+        sedge, sflux = (sedgex, sedgey), (fluxx, fluxy)
+    else:
+        from .ops import godunov3d
+        sedge, sflux = godunov3d.mkflux_3d(
+            s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
+            adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+            cfg.use_minion)
+
+    scal_force_half = basic.mkscalforce(ext_scal, laps, cfg.diff_coef, 0.0)
+    snew = basic.update(sold, umac, sedge, sflux, scal_force_half, dt, dx,
+                        is_cons)
+
+    if cfg.diff_coef > 0.0:
+        visc_mu = (0.5 * dt * cfg.diff_coef if cfg.diffusion_type == 1
+                   else dt * cfg.diff_coef)
+        snew = projection.diff_scalar_solve(sim, snew, laps, visc_mu,
+                                            cfg.diffusion_type)
+
+    # ---- half-time density
+    rhohalf = basic.make_at_halftime(sold[0], snew[0])
+
+    # ---- velocity advance
+    vel_is_cons = [False] * dm
+    uf_pad = sim.fill_extrap(vel_force, ng)  # t^n force (visc_fac=1)
+    if dm == 2:
+        uex, uey, ufx, ufy = godunov.mkflux_2d(
+            u_pad, mac_pads[0], mac_pads[1], uf_pad, mrhs_pad, dt, dx,
+            sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
+            cfg.slope_order, cfg.use_minion)
+        uedge, uflux = (uex, uey), (ufx, ufy)
+    else:
+        from .ops import godunov3d
+        uedge, uflux = godunov3d.mkflux_3d(
+            u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
+            adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
+            cfg.use_minion)
+
+    # backward Euler drops the explicit viscous term (advance_timestep.f90:116-120)
+    if cfg.diffusion_type == 2:
+        lapu = jnp.zeros_like(lapu)
+
+    # half-time force: rhohalf density, visc_fac=0 (velocity_advance.f90:86)
+    s_half = sold.at[0].set(rhohalf)
+    vel_force_half = basic.mkvelforce(cfg.ext_force, s_half, gp, lapu,
+                                      cfg.visc_coef, 0.0, cfg.boussinesq)
+    unew = basic.update(uold, umac, uedge, uflux, vel_force_half, dt, dx,
+                        vel_is_cons)
+
+    if cfg.visc_coef > 0.0:
+        visc_mu = (0.5 * dt * cfg.visc_coef if cfg.diffusion_type == 1
+                   else dt * cfg.visc_coef)
+        unew = projection.visc_solve(sim, unew, lapu, rhohalf, mac_rhs,
+                                     visc_mu, cfg.diffusion_type)
+
+    # ---- nodal projection
+    unew, p, gp = projection.hgproject(sim, proj_type, unew, uold, rhohalf,
+                                       p, gp, dt)
+
+    diag = {"div_before": div_b, "div_after": div_a,
+            "smin": jnp.min(snew[0]), "smax": jnp.max(snew[0]),
+            "umax": jnp.max(jnp.abs(unew))}
+    return State(u=unew, s=snew, gp=gp, p=p), diag
+
+
+def estdt(sim: Sim, state: State, dtold):
+    return basic.estdt(state.u, state.s[0], state.gp, sim.cfg.ext_force,
+                       sim.dx, dtold, sim.cfg.cflfac, sim.cfg.max_dt_growth)

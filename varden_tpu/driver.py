@@ -1,0 +1,141 @@
+"""Main driver: the reference's varden() program flow (src/varden.f90:1-665)
+— init, initial projection, initial pressure iterations, main step loop with
+plotfile/checkpoint cadence — orchestrating jitted step functions.
+
+Single jit per (proj_type): the entire advance_timestep (Godunov + MG solves +
+projections) is one compiled XLA program; the Python loop only sequences steps
+and host-side I/O.
+"""
+from __future__ import annotations
+
+import functools
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import advance, problems, projection
+from .config import VardenConfig
+from .state import Sim, State
+
+
+class Varden:
+    """A configured simulation with compiled step functions."""
+
+    def __init__(self, cfg: VardenConfig):
+        self.cfg = cfg
+        self.sim = Sim(cfg)
+        self.time = 0.0
+        self.dt = 1.0e20
+        self.istep = 0
+        self._step = {
+            projection.REGULAR_TIMESTEP: jax.jit(functools.partial(
+                advance.advance_timestep, self.sim,
+                proj_type=projection.REGULAR_TIMESTEP)),
+            projection.PRESSURE_ITERS: jax.jit(functools.partial(
+                advance.advance_timestep, self.sim,
+                proj_type=projection.PRESSURE_ITERS)),
+        }
+        self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
+        self._initial_proj = jax.jit(self._initial_projection_impl)
+
+    # ------------------------------------------------------------------
+    def _initial_projection_impl(self, state: State) -> State:
+        """Constant-density initial projection (varden.f90:126-138)."""
+        rhohalf = jnp.ones_like(state.s[0])
+        u, p, gp = projection.hgproject(
+            self.sim, projection.INITIAL_PROJECTION, state.u, state.u,
+            rhohalf, state.p, state.gp, 1.0)
+        return State(u=u, s=state.s, gp=jnp.zeros_like(gp),
+                     p=jnp.zeros_like(p))
+
+    def initialize(self, state: Optional[State] = None) -> State:
+        cfg = self.cfg
+        if state is None:
+            state = problems.initdata(self.sim)
+        if cfg.restart < 0:
+            if cfg.do_initial_projection > 0:
+                state = self._initial_proj(state)
+            # first dt (varden.f90:186-199)
+            dt = self._estdt(state, jnp.asarray(-1.0, self.sim.dtype))
+            self.dt = float(dt) * cfg.init_shrink
+            if cfg.fixed_dt > 0.0:
+                self.dt = cfg.fixed_dt
+            if cfg.stop_time >= 0.0:
+                self.dt = min(self.dt, cfg.stop_time - self.time)
+            # initial pressure iterations (varden.f90:460-490)
+            for _ in range(cfg.init_iter):
+                st2, _diag = self._step[projection.PRESSURE_ITERS](state, self.dt)
+                state = State(u=state.u, s=state.s, gp=st2.gp, p=st2.p)
+        return state
+
+    def step(self, state: State) -> State:
+        """One regular timestep (varden.f90:237-371 loop body)."""
+        cfg = self.cfg
+        self.istep += 1
+        if self.istep > 1:
+            dtold = self.dt
+            self.dt = float(self._estdt(state, jnp.asarray(dtold, self.sim.dtype)))
+            if cfg.fixed_dt > 0.0:
+                self.dt = cfg.fixed_dt
+            if cfg.stop_time >= 0.0 and self.time + self.dt > cfg.stop_time:
+                self.dt = cfg.stop_time - self.time
+        state, diag = self._step[projection.REGULAR_TIMESTEP](state, self.dt)
+        self.time += self.dt
+        self.last_diag = diag
+        if cfg.verbose >= 1:
+            print(f"... max of [div(umac)-RHS] before/after MAC projection "
+                  f"{float(diag['div_before']):15.8e} {float(diag['div_after']):15.8e}")
+            print(f"... new min/max : density {float(diag['smin']):17.10e} "
+                  f"{float(diag['smax']):17.10e}")
+        print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
+              f"DT = {self.dt:14.9f}")
+        return state
+
+    def restart(self) -> State:
+        """Resume from a checkpoint (reference initialize_from_restart,
+        src/initialize.f90:23-91; resumes at restart+1, varden.f90:225-229)."""
+        from .io import output
+        cfg = self.cfg
+        name = f"{cfg.check_base_name}{cfg.restart:05d}"
+        state, header = output.read_checkpoint(self.sim, name)
+        self.time = header["time"]
+        self.dt = header["dt"]
+        self.istep = header["istep"]
+        return state
+
+    def run(self, state: Optional[State] = None,
+            max_step: Optional[int] = None) -> State:
+        cfg = self.cfg
+        if cfg.restart >= 0 and state is None:
+            state = self.restart()
+        else:
+            state = self.initialize(state)
+        max_step = cfg.max_step if max_step is None else max_step
+        writers = self._io_writers()
+        writers(self, state)
+        while self.istep < max_step and (cfg.stop_time < 0.0 or
+                                         self.time < cfg.stop_time - 1e-14):
+            state = self.step(state)
+            writers(self, state)
+        return state
+
+    def _io_writers(self):
+        from .io import output
+
+        def write(v, state):
+            cfg = v.cfg
+            if cfg.plot_int > 0 and v.istep % cfg.plot_int == 0:
+                output.write_plotfile(v.sim, state, v.istep, v.time, v.dt)
+            if cfg.chk_int > 0 and v.istep % cfg.chk_int == 0:
+                output.write_checkpoint(v.sim, state, v.istep, v.time, v.dt)
+        return write
+
+
+def run_from_inputs(path: str, **overrides) -> Varden:
+    from .config import load_config
+    cfg = load_config(path, **overrides)
+    v = Varden(cfg)
+    v.final_state = v.run()
+    return v

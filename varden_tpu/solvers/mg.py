@@ -142,6 +142,26 @@ def _make_diag(n, dx, ell_bc, aco, beta, alpha, dm):
     return diag
 
 
+def make_level(n, dx, ell_bc, aco, beta, alpha) -> "CCLevel":
+    """Single CCLevel for standalone operator application (the reference's
+    cc_applyop path, src/explicit_diffusive_term.f90:55-70)."""
+    dm = len(n)
+    diag = _make_diag(n, dx, ell_bc, aco, beta, alpha, dm)
+    return CCLevel(tuple(n), tuple(dx), tuple(map(tuple, ell_bc)),
+                   aco, tuple(beta), alpha, diag)
+
+
+def laplacian(f, n, dx, ell_bc, bvals=None):
+    """lap(f) with BC-corrected boundary stencils: cc_applyop with alpha=0,
+    beta=-1 (reference explicit_diffusive_term.f90:55-60)."""
+    dm = len(n)
+    aco = jnp.zeros_like(f)
+    beta = tuple(jnp.ones(tuple(n[t] + (1 if t == d else 0) for t in range(dm)),
+                          f.dtype) for d in range(dm))
+    level = make_level(n, dx, ell_bc, aco, beta, 0.0)
+    return -cc_apply(level, f, bvals)
+
+
 def build_hierarchy(n, dx, ell_bc, aco, beta, alpha) -> List[CCLevel]:
     """Build the level stack by factor-2 coarsening (finest first)."""
     dm = len(n)

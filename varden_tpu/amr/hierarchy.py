@@ -83,8 +83,9 @@ def restrict_faces(f: jnp.ndarray, d: int, dm: int) -> jnp.ndarray:
     return out
 
 
-def _mc_slopes(c: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """MC-limited undivided slopes; zero in the outermost cells."""
+def _mc_slopes(c: jnp.ndarray, axis: int, limit: bool = True) -> jnp.ndarray:
+    """Undivided central slopes (MC-limited by default); zero in the
+    outermost cells."""
     sl_p = [slice(None)] * c.ndim
     sl_m = [slice(None)] * c.ndim
     sl_p[axis] = slice(2, None)
@@ -93,25 +94,31 @@ def _mc_slopes(c: jnp.ndarray, axis: int) -> jnp.ndarray:
     sl_c[axis] = slice(1, -1)
     cp, cm, cc = c[tuple(sl_p)], c[tuple(sl_m)], c[tuple(sl_c)]
     cen = 0.5 * (cp - cm)
-    dpls = 2.0 * (cp - cc)
-    dmin = 2.0 * (cc - cm)
-    lim = jnp.minimum(jnp.abs(dpls), jnp.abs(dmin))
-    lim = jnp.where(dpls * dmin > 0.0, lim, 0.0)
-    s = jnp.sign(cen) * jnp.minimum(lim, jnp.abs(cen))
+    if limit:
+        dpls = 2.0 * (cp - cc)
+        dmin = 2.0 * (cc - cm)
+        lim = jnp.minimum(jnp.abs(dpls), jnp.abs(dmin))
+        lim = jnp.where(dpls * dmin > 0.0, lim, 0.0)
+        s = jnp.sign(cen) * jnp.minimum(lim, jnp.abs(cen))
+    else:
+        s = cen
     pad = [(0, 0)] * c.ndim
     pad[axis] = (1, 1)
     return jnp.pad(s, pad)
 
 
-def prolong_cells(c: jnp.ndarray, dm: int, order: int = 1) -> jnp.ndarray:
-    """Limited-slope linear prolongation to 2x resolution (lin_cc_interp
-    semantics, used by fillpatch / fill_ghost_cells). The outermost source
-    cells interpolate piecewise-constant (their slopes are zeroed)."""
+def prolong_cells(c: jnp.ndarray, dm: int, order: int = 1,
+                  limit: bool = True) -> jnp.ndarray:
+    """Linear prolongation to 2x resolution. limit=True gives lin_cc_interp
+    semantics (limited slopes, used by fillpatch ghost fills of advected
+    state); limit=False is the plain linear operator required for solver
+    coarse-fine ghosts (a limiter would make the composite operator
+    nonlinear). The outermost source cells interpolate piecewise-constant."""
     out = c
     for d in range(dm):
         axis = out.ndim - dm + d
         if order >= 1:
-            s = _mc_slopes(out, axis)
+            s = _mc_slopes(out, axis, limit=limit)
         else:
             s = jnp.zeros_like(out)
         lo = out - 0.25 * s

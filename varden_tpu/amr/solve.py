@@ -1,0 +1,533 @@
+"""Composite (multi-level) elliptic solves.
+
+TPU-native equivalent of FBoxLib's ml_cc_solve / ml_nd_solve consumed by the
+reference's mac_multigrid/hg_multigrid wrappers: the coupled coarse/fine
+problem is solved by block Gauss-Seidel over levels — each sweep does a full
+MG solve per level in correction form, with
+
+  * fine levels seeing coarse-interpolated ghost values (Dirichlet-at-ghost-
+    cell at coarse-fine sides; the homogenized correction uses BC_GHOST),
+  * coarse residuals reflux-corrected at coarse-fine faces (the flux-register
+    role of bndry_reg/fine_flx, macproject.f90:522-609),
+  * covered coarse cells slaved to the restriction of the fine solution.
+
+Converges like a two-grid method because levels couple only through the
+interface; a handful of outer sweeps reaches the solver tolerance.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..bc import BC_DIR, BC_NEU, BC_PER
+from ..solvers import mg, nodal
+from .fill import MLGeom
+from .hierarchy import (covered_slice, prolong_cells, prolong_nodes,
+                        restrict_cells, restrict_faces)
+
+DEFAULT_OUTER = 20
+
+
+def _axslice(f, axis, i0, i1):
+    sl = [slice(None)] * f.ndim
+    sl[axis] = slice(i0, i1)
+    return f[tuple(sl)]
+
+
+def _solver_slab(fint, axis, side, ng, kind, code, bval):
+    """Width-ng ghost slab realizing the solver BC on one side. Layer 1 uses
+    the exact formula; outer layers copy it (they only feed interp slopes)."""
+    if kind == "per":
+        return (_axslice(fint, axis, -ng, None) if side == 0
+                else _axslice(fint, axis, 0, ng))
+    if side == 0:
+        p0, p1 = _axslice(fint, axis, 0, 1), _axslice(fint, axis, 1, 2)
+    else:
+        p0, p1 = _axslice(fint, axis, -1, None), _axslice(fint, axis, -2, -1)
+    if code == BC_NEU:
+        g = p0
+    elif code == BC_DIR:
+        g = (8.0 / 3.0) * bval - 2.0 * p0 + (1.0 / 3.0) * p1
+    else:  # BC_GHOST used on phys side should not occur; fall back to copy
+        g = p0
+    slab = jnp.concatenate([g] * ng, axis=axis)
+    return slab
+
+
+def pad_phi(geom: MLGeom, lev: int, phis, ell_bc_phys, bvals,
+            ng: int = 1) -> jnp.ndarray:
+    """Padded solver variable at one level: physical sides via solver BC
+    formulas, periodic wrap, coarse-fine sides by limited-slope interpolation
+    from the parent's padded phi."""
+    dm = geom.dm
+    phi = phis[lev]
+
+    if lev == 0:
+        out = phi
+        for d in range(dm):
+            axis = out.ndim - dm + d
+            kind_lo = "per" if geom.sim.pmask[d] else "phys"
+            lo = _solver_slab(out, axis, 0, ng, kind_lo,
+                              ell_bc_phys[d][0], bvals[d][0])
+            hi = _solver_slab(out, axis, 1, ng, kind_lo,
+                              ell_bc_phys[d][1], bvals[d][1])
+            out = jnp.concatenate([lo, out, hi], axis=axis)
+        return out
+
+    ppad = pad_phi(geom, lev - 1, phis, ell_bc_phys, bvals, ng=2)
+    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    c0 = [(spec.lo[d] - ng) // 2 - 1 for d in range(dm)]
+    c1 = [-((-(spec.hi[d] + ng)) // 2) + 1 for d in range(dm)]
+    sl = [slice(None)] * (ppad.ndim - dm)
+    for d in range(dm):
+        origin = pspec.lo[d] - 2
+        sl.append(slice(c0[d] - origin, c1[d] - origin))
+    up = prolong_cells(ppad[tuple(sl)], dm, limit=False)
+    sl = [slice(None)] * (up.ndim - dm)
+    for d in range(dm):
+        start = (spec.lo[d] - ng) - 2 * c0[d]
+        sl.append(slice(start, start + spec.n[d] + 2 * ng))
+    out = up[tuple(sl)]
+    il = [slice(None)] * (out.ndim - dm) + [slice(ng, -ng)] * dm
+    out = out.at[tuple(il)].set(phi)
+
+    for d in range(dm):
+        axis = out.ndim - dm + d
+        for side in range(2):
+            kind = geom.side_kind(lev, d, side)
+            if kind == "cf":
+                continue
+            fint = _axslice(out, axis, ng, -ng)
+            slab = _solver_slab(fint, axis, side, ng, kind,
+                                ell_bc_phys[d][side], bvals[d][side])
+            dst = [slice(None)] * out.ndim
+            dst[axis] = slice(0, ng) if side == 0 else slice(-ng, None)
+            out = out.at[tuple(dst)].set(slab)
+    return out
+
+
+def _reflux_correct(geom: MLGeom, lev, res_c, pad_c, pad_f, beta_c, beta_f):
+    """Replace the coarse flux with the averaged fine flux in the coarse
+    residual at coarse-fine faces of child level lev+1 (flux registers)."""
+    dm = geom.dm
+    child = geom.specs[lev + 1]
+    dxc = geom.dx(lev)
+    dxf = geom.dx(lev + 1)
+    cspec = geom.specs[lev]
+    cl = [child.lo[d] // 2 - cspec.lo[d] for d in range(dm)]   # rel. coarse idx
+    ch = [child.hi[d] // 2 - cspec.lo[d] for d in range(dm)]
+    for d in range(dm):
+        for side in range(2):
+            if geom.side_kind(lev + 1, d, side) != "cf":
+                continue
+            face_c = cl[d] if side == 0 else ch[d]   # coarse face plane index
+            # coarse flux across the plane: beta * (phi[face]-phi[face-1])/dxc
+            # from the coarse padded array (pad offset +1)
+            lo_cell = _slab_cell(pad_c, d, dm, face_c - 1 + 1, cl, ch)
+            hi_cell = _slab_cell(pad_c, d, dm, face_c + 1, cl, ch)
+            Fc = _beta_plane(beta_c, d, dm, face_c, cl, ch) * \
+                (hi_cell - lo_cell) / dxc[d]
+            # fine flux on the coincident plane, averaged to coarse faces
+            fface = 0 if side == 0 else child.n[d]
+            f_lo = _fine_plane(pad_f, d, dm, fface - 1 + 1)
+            f_hi = _fine_plane(pad_f, d, dm, fface + 1)
+            Ff = _beta_plane_full(beta_f, d, dm, fface) * (f_hi - f_lo) / dxf[d]
+            Favg = _avg_plane(Ff, d, dm)
+            diff = (Favg - Fc) / dxc[d]
+            # r[left of lo-face] += diff ; r[right of hi-face] -= diff
+            cell = face_c - 1 if side == 0 else face_c
+            sgn = 1.0 if side == 0 else -1.0
+            idx = []
+            for t in range(dm):
+                if t == d:
+                    idx.append(slice(cell, cell + 1))
+                else:
+                    idx.append(slice(cl[t], ch[t]))
+            res_c = res_c.at[tuple(idx)].add(
+                sgn * jnp.expand_dims(diff, axis=d))
+    return res_c
+
+
+def _slab_cell(pad, d, dm, idx, cl, ch):
+    """Cell plane slab from a 1-ghost padded coarse array, cropped to the
+    covered tangential range."""
+    sl = []
+    for t in range(dm):
+        if t == d:
+            sl.append(slice(idx, idx + 1))
+        else:
+            sl.append(slice(cl[t] + 1, ch[t] + 1))
+    out = pad[tuple(sl)]
+    return jnp.squeeze(out, axis=d)
+
+
+def _fine_plane(pad, d, dm, idx):
+    sl = []
+    for t in range(dm):
+        if t == d:
+            sl.append(slice(idx, idx + 1))
+        else:
+            sl.append(slice(1, -1))
+    return jnp.squeeze(pad[tuple(sl)], axis=d)
+
+
+def _beta_plane(beta, d, dm, face, cl, ch):
+    sl = []
+    for t in range(dm):
+        if t == d:
+            sl.append(slice(face, face + 1))
+        else:
+            sl.append(slice(cl[t], ch[t]))
+    return jnp.squeeze(beta[d][tuple(sl)], axis=d)
+
+
+def _beta_plane_full(beta, d, dm, face):
+    sl = []
+    for t in range(dm):
+        if t == d:
+            sl.append(slice(face, face + 1))
+        else:
+            sl.append(slice(None))
+    return jnp.squeeze(beta[d][tuple(sl)], axis=d)
+
+
+def _avg_plane(f, d, dm):
+    """2x tangential average of a (dm-1)-plane (fine faces -> coarse faces)."""
+    for t in range(dm - 1):
+        a = [slice(None)] * f.ndim
+        b = [slice(None)] * f.ndim
+        ax = f.ndim - (dm - 1) + t
+        a[ax] = slice(0, None, 2)
+        b[ax] = slice(1, None, 2)
+        f = 0.5 * (f[tuple(a)] + f[tuple(b)])
+    return f
+
+
+def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
+                       phi0_l=None, bvals=None, rel_eps=1e-10,
+                       max_outer=DEFAULT_OUTER):
+    """Solve the composite problem (alpha*aco - div beta grad) phi = rhs over
+    all levels. Returns (phi_l, resnorm)."""
+    sim = geom.sim
+    dm, nlev = geom.dm, geom.nlev
+    ell0 = [tuple(sim.ell_bc[comp][d]) for d in range(dm)]
+    if bvals is None:
+        bvals = [[0.0, 0.0]] * dm
+    if phi0_l is None:
+        phi0_l = [jnp.zeros(geom.specs[l].n, sim.dtype) for l in range(nlev)]
+    if nlev == 1:
+        return_phi, rn = mg.solve(geom.specs[0].n, geom.dx(0), ell0, aco_l[0],
+                                  beta_l[0], rhs_l[0], alpha=alpha,
+                                  bvals=bvals, phi0=phi0_l[0],
+                                  rel_eps=rel_eps)
+        return [return_phi], rn
+
+    ell_bcs = [ell0] + [geom.ell_bc_level(l, comp) for l in range(1, nlev)]
+    hiers = [mg.build_hierarchy(list(geom.specs[l].n), list(geom.dx(l)),
+                                ell_bcs[l], aco_l[l], list(beta_l[l]), alpha)
+             for l in range(nlev)]
+    # composite null space = constants iff the level-0 problem is singular
+    singular = mg.is_singular(ell0, alpha)
+    if singular:
+        # Make the rhs compatible with the COMPOSITE left null vector (uniform
+        # over coarse cells with covered entries = restriction of fine): an
+        # incompatible component cannot be destroyed by the solves — it only
+        # circulates between levels through the reflux and stalls convergence.
+        rhs_l = list(rhs_l)
+        comp = list(rhs_l)
+        for l in range(nlev - 2, -1, -1):
+            comp[l] = comp[l].at[covered_slice_rel(geom, l)].set(
+                restrict_cells(comp[l + 1], dm))
+        mu = jnp.mean(comp[0])
+        rhs_l = [r - mu for r in rhs_l]
+
+    def residuals(phis):
+        pads = [pad_phi(geom, l, phis, ell0, bvals, ng=1) for l in range(nlev)]
+        res = [rhs_l[l] - mg.apply_padded(pads[l], aco_l[l], beta_l[l],
+                                          alpha, geom.dx(l), dm)
+               for l in range(nlev)]
+        for l in range(nlev - 1):
+            res[l] = _reflux_correct(geom, l, res[l], pads[l], pads[l + 1],
+                                     beta_l[l], beta_l[l + 1])
+            cov = covered_slice_rel(geom, l)
+            res[l] = res[l].at[cov].set(restrict_cells(res[l + 1], dm))
+        return res
+
+    def resnorm(res):
+        if singular:
+            # project out the composite incompatibility (constant) component,
+            # exactly as the correction solves do
+            m = jnp.mean(res[0])
+            res = [r - m for r in res]
+        return jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in res]))
+
+    bnorm = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
+    tol = rel_eps * bnorm
+
+    def slave(phis):
+        for l in range(nlev - 2, -1, -1):
+            cov = covered_slice_rel(geom, l)
+            phis[l] = phis[l].at[cov].set(restrict_cells(phis[l + 1], dm))
+        return phis
+
+    def body(carry):
+        phis, k, _ = carry
+        phis = list(phis)
+        res = residuals(phis)
+        r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
+        d0 = mg.v_cycle(hiers[0], jnp.zeros_like(r0), r0, [[0.0, 0.0]] * dm)
+        phis[0] = phis[0] + d0
+        d_prev = d0
+        for l in range(1, nlev):
+            # two-grid: seed this level with the prolonged parent correction,
+            # then recompute the residual with the updated parent ghosts and
+            # smooth with one V-cycle
+            cov = covered_slice_rel(geom, l - 1)
+            phis[l] = phis[l] + prolong_cells(d_prev[cov], dm)
+            pad = pad_phi(geom, l, phis, ell0, bvals, ng=1)
+            rl = rhs_l[l] - mg.apply_padded(pad, aco_l[l], beta_l[l], alpha,
+                                            geom.dx(l), dm)
+            dl = mg.v_cycle(hiers[l], jnp.zeros_like(rl), rl, [[0.0, 0.0]] * dm)
+            phis[l] = phis[l] + dl
+            d_prev = prolong_cells(d_prev[cov], dm) + dl
+        phis = slave(phis)
+        if singular:
+            m = jnp.mean(phis[0])
+            phis = [p - m for p in phis]
+        res = residuals(phis)
+        return tuple(phis), k + 1, resnorm(res)
+
+    def cond(carry):
+        _, k, rn = carry
+        return jnp.logical_and(k < max_outer, rn > tol)
+
+    phis0 = slave(list(phi0_l))
+    init = (tuple(phis0), jnp.array(0), resnorm(residuals(phis0)))
+    phis, _, rn = jax.lax.while_loop(cond, body, init)
+    return list(phis), rn
+
+
+def covered_slice_rel(geom: MLGeom, lev: int):
+    """Slice of level-lev array covered by level lev+1."""
+    child, spec = geom.specs[lev + 1], geom.specs[lev]
+    return tuple(slice(child.lo[d] // 2 - spec.lo[d],
+                       child.hi[d] // 2 - spec.lo[d])
+                 for d in range(geom.dm))
+
+
+# ---------------------------------------------------------------------------
+# composite nodal solve
+# ---------------------------------------------------------------------------
+
+def _interface_values(geom: MLGeom, lev, phi_c):
+    """Fine-level boundary-node values on CF sides, interpolated from the
+    parent's nodal phi (linear along the interface)."""
+    dm = geom.dm
+    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    # wrap-pad parent nodal array along its periodic axes so prolongation
+    # covers the last midpoint, then prolong once and slice the box faces
+    pc = phi_c
+    for d in range(dm):
+        if geom.side_kind(lev - 1, d, 0) == "per":
+            sl = [slice(None)] * dm
+            sl[d] = slice(0, 1)
+            pc = jnp.concatenate([pc, pc[tuple(sl)]], axis=d)
+    up = prolong_nodes(pc, dm)  # fine-node array, origin 2*pspec.lo
+    vals = {}
+    for d in range(dm):
+        for side in range(2):
+            if geom.side_kind(lev, d, side) != "cf":
+                continue
+            fnode = spec.lo[d] if side == 0 else spec.hi[d]
+            sl = []
+            for t in range(dm):
+                if t == d:
+                    i = fnode - 2 * pspec.lo[t]
+                    sl.append(slice(i, i + 1))
+                else:
+                    fn_t = spec.n[t] + (0 if geom.side_kind(lev, t, 0) == "per"
+                                        else 1)
+                    i = spec.lo[t] - 2 * pspec.lo[t]
+                    sl.append(slice(i, i + fn_t))
+            vals[(d, side)] = jnp.squeeze(up[tuple(sl)], axis=d)
+    return vals
+
+
+def _set_interface(geom: MLGeom, lev, phi_f, vals):
+    dm = geom.dm
+    spec = geom.specs[lev]
+    for (d, side), v in vals.items():
+        sl = []
+        for t in range(dm):
+            if t == d:
+                sl.append(slice(0, 1) if side == 0 else slice(-1, None))
+            else:
+                sl.append(slice(None))
+        phi_f = phi_f.at[tuple(sl)].set(jnp.expand_dims(v, axis=d))
+    return phi_f
+
+
+def fine_nodal_mask(geom: MLGeom, lev, extra_mask=None):
+    """1 = solve, 0 = fixed: CF boundary nodes + any physical Dirichlet."""
+    dm = geom.dm
+    spec = geom.specs[lev]
+    pm = [geom.side_kind(lev, d, 0) == "per" for d in range(dm)]
+    ns = nodal.node_shape(spec.n, pm)
+    mask = jnp.ones(ns, geom.sim.dtype)
+    from ..config import OUTLET
+    for d in range(dm):
+        for side in range(2):
+            kind = geom.side_kind(lev, d, side)
+            fixed = kind == "cf" or (
+                kind == "phys" and geom.sim.phys_bc[d][side] == OUTLET)
+            if fixed:
+                sl = [slice(None)] * dm
+                sl[d] = slice(0, 1) if side == 0 else slice(-1, None)
+                mask = mask.at[tuple(sl)].set(0.0)
+    return mask
+
+
+def composite_nodal_solve(geom: MLGeom, sigma_l, rhs_l, phi0_l=None,
+                          rel_eps=1e-10, max_outer=DEFAULT_OUTER):
+    """Composite nodal (hg) solve. Interface rows stay coarse (the flux-
+    register correction is omitted there — an approximation the outer
+    deferred-correction loop does not remove; adequate for the approximate
+    projection). Returns (phi_l, resnorm)."""
+    sim = geom.sim
+    dm, nlev = geom.dm, geom.nlev
+    if phi0_l is None:
+        phi0_l = None
+    if nlev == 1:
+        phi, rn = nodal.solve(geom.specs[0].n, geom.dx(0), sim.pmask,
+                              sigma_l[0], rhs_l[0], mask=sim.nodal_mask(),
+                              rel_eps=rel_eps)
+        return [phi], rn
+
+    pmask_l = [[geom.side_kind(l, d, 0) == "per" for d in range(dm)]
+               for l in range(nlev)]
+    mask0 = sim.nodal_mask()
+    masks = [mask0] + [fine_nodal_mask(geom, l) for l in range(1, nlev)]
+    hiers = [nodal.build_hierarchy(list(geom.specs[l].n), list(geom.dx(l)),
+                                   pmask_l[l], sigma_l[l], masks[l])
+             for l in range(nlev)]
+    singular = mask0 is None
+
+    phis = [jnp.zeros(nodal.node_shape(geom.specs[l].n, pmask_l[l]),
+                      sim.dtype) for l in range(nlev)]
+
+    def covered_nodes(lev):
+        child, spec = geom.specs[lev + 1], geom.specs[lev]
+        # interior covered coarse nodes (exclusive of the interface ring on
+        # cf sides; inclusive where the child touches the domain boundary)
+        sl = []
+        for d in range(dm):
+            lo = child.lo[d] // 2 - spec.lo[d]
+            hi = child.hi[d] // 2 - spec.lo[d]
+            lo += 1 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
+            hi -= 0 if geom.side_kind(lev + 1, d, 1) == "cf" else -1
+            sl.append(slice(lo, hi))
+        return tuple(sl)
+
+    def fine_node_window(lev):
+        """slices into the fine node array matching covered_nodes strides."""
+        child = geom.specs[lev + 1]
+        sl = []
+        for d in range(dm):
+            lo = 2 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
+            sl.append(slice(lo, None, 2))
+        return tuple(sl)
+
+    def body(carry):
+        phis, k, _ = carry
+        phis = list(phis)
+        # fine residual with current interface values
+        for _sweep in range(1):
+            # coarse residual: own apply + covered restriction of fine res
+            rc = rhs_l[0] - nodal.nd_apply_raw(hiers[0][0], phis[0])
+            for l in range(nlev - 1, 0, -1):
+                vals = _interface_values(geom, l, phis[l - 1])
+                phis[l] = _set_interface(geom, l, phis[l], vals)
+            res_f = [None] * nlev
+            for l in range(1, nlev):
+                res_f[l] = (rhs_l[l] - nodal.nd_apply_raw(hiers[l][0], phis[l])
+                            ) * masks[l]
+            rc_corr = rc
+            if nlev > 1:
+                rf_restr = nodal_restrict_window(res_f[1], geom, 0)
+                rc_corr = rc_corr.at[covered_nodes(0)].set(rf_restr)
+            if singular:
+                rc_corr = rc_corr - jnp.mean(rc_corr)
+            if masks[0] is not None:
+                rc_corr = rc_corr * masks[0]
+            d0 = nodal.v_cycle(hiers[0], jnp.zeros_like(rc_corr), rc_corr)
+            phis[0] = phis[0] + d0
+            d_prev = d0
+            for l in range(1, nlev):
+                # two-grid: seed the fine interior with the prolonged parent
+                # correction before re-smoothing
+                seed = _prolong_node_patch(geom, l, d_prev) * masks[l]
+                phis[l] = phis[l] + seed
+                vals = _interface_values(geom, l, phis[l - 1])
+                phis[l] = _set_interface(geom, l, phis[l], vals)
+                rl = (rhs_l[l] - nodal.nd_apply_raw(hiers[l][0], phis[l])
+                      ) * masks[l]
+                dl = nodal.v_cycle(hiers[l], jnp.zeros_like(rl), rl)
+                phis[l] = phis[l] + dl * masks[l]
+                d_prev = seed + dl * masks[l]
+            # slave covered coarse nodes to fine coincident values
+            for l in range(nlev - 2, -1, -1):
+                fine_vals = phis[l + 1][fine_node_window(l)]
+                phis[l] = phis[l].at[covered_nodes(l)].set(fine_vals)
+            if singular:
+                m = jnp.mean(phis[0])
+                phis = [p - m for p in phis]
+        # convergence metric: fine-level residual + uncovered coarse residual
+        rn = jnp.max(jnp.abs((rhs_l[nlev - 1] -
+                              nodal.nd_apply_raw(hiers[nlev - 1][0],
+                                                 phis[nlev - 1]))
+                             * masks[nlev - 1]))
+        return tuple(phis), k + 1, rn
+
+    def cond(carry):
+        _, k, rn = carry
+        bnorm = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
+        return jnp.logical_and(k < max_outer, rn > rel_eps * bnorm)
+
+    init = (tuple(phis), jnp.array(0), jnp.asarray(jnp.inf, sim.dtype))
+    phis, _, rn = jax.lax.while_loop(cond, body, init)
+    return list(phis), rn
+
+
+def _prolong_node_patch(geom: MLGeom, lev, dc):
+    """Prolong a parent nodal correction onto the level-lev node lattice."""
+    dm = geom.dm
+    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    pc = dc
+    for d in range(dm):
+        if geom.side_kind(lev - 1, d, 0) == "per":
+            sl = [slice(None)] * dm
+            sl[d] = slice(0, 1)
+            pc = jnp.concatenate([pc, pc[tuple(sl)]], axis=d)
+    up = prolong_nodes(pc, dm)  # fine-node lattice, origin 2*pspec.lo
+    sl = []
+    for d in range(dm):
+        fn = spec.n[d] + (0 if geom.side_kind(lev, d, 0) == "per" else 1)
+        i = spec.lo[d] - 2 * pspec.lo[d]
+        sl.append(slice(i, i + fn))
+    return up[tuple(sl)]
+
+
+def nodal_restrict_window(res_f, geom: MLGeom, lev):
+    """P^T-restrict a fine nodal residual onto the coincident coarse nodes of
+    covered_nodes(lev)."""
+    dm = geom.dm
+    pm = [geom.side_kind(lev + 1, d, 0) == "per" for d in range(dm)]
+    r = nodal._restrict(res_f, pm, dm)
+    sl = []
+    for d in range(dm):
+        lo = 1 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
+        hi = r.shape[d] - (1 if geom.side_kind(lev + 1, d, 1) == "cf" else 0)
+        sl.append(slice(lo, hi))
+    return r[tuple(sl)]

@@ -25,6 +25,12 @@ import jax.numpy as jnp
 
 from ..bc import BC_DIR, BC_NEU, BC_PER
 
+# Coarse-fine "ghost Dirichlet": the boundary value lives in the ghost CELL
+# (interpolated from the coarse level). In homogenized correction solves the
+# ghost value is zero; the uniform 2-point flux formula then applies with an
+# unmodified diagonal.
+BC_GHOST = 3
+
 DEFAULT_NU1 = 2
 DEFAULT_NU2 = 2
 DEFAULT_MAX_CYCLES = 60
@@ -50,16 +56,57 @@ def _pad_ghost(phi, ell_bc, bvals, dm):
             lo = take(-1, None)
         elif lo_bc == BC_NEU:
             lo = take(0, 1)
+        elif lo_bc == BC_GHOST:
+            lo = jnp.zeros_like(take(0, 1))
         else:  # BC_DIR
             lo = (8.0 / 3.0) * bvals[d][0] - 2.0 * take(0, 1) + (1.0 / 3.0) * take(1, 2)
         if hi_bc == BC_PER:
             hi = take(0, 1)
         elif hi_bc == BC_NEU:
             hi = take(-1, None)
+        elif hi_bc == BC_GHOST:
+            hi = jnp.zeros_like(take(-1, None))
         else:
             hi = (8.0 / 3.0) * bvals[d][1] - 2.0 * take(-1, None) + (1.0 / 3.0) * take(-2, -1)
         phi = jnp.concatenate([lo, phi, hi], axis=axis)
     return phi
+
+
+def apply_padded(phi_pad, aco, beta, alpha, dx, dm):
+    """L(phi) = alpha*aco*phi - div(beta grad phi) computed directly from a
+    1-ghost padded phi (ghosts already realize whatever BCs apply — physbc
+    recipes or coarse-fine interpolation). Used for composite residuals."""
+    def crop_others(q, d):
+        for t in range(dm):
+            if t != d:
+                ax = q.ndim - dm + t
+                sl = [slice(None)] * q.ndim
+                sl[ax] = slice(1, -1)
+                q = q[tuple(sl)]
+        return q
+
+    interior = phi_pad
+    for t in range(dm):
+        ax = interior.ndim - dm + t
+        sl = [slice(None)] * interior.ndim
+        sl[ax] = slice(1, -1)
+        interior = interior[tuple(sl)]
+    out = alpha * aco * interior
+    for d in range(dm):
+        q = crop_others(phi_pad, d)
+        axis = q.ndim - dm + d
+        hi = [slice(None)] * q.ndim
+        lo = [slice(None)] * q.ndim
+        hi[axis] = slice(1, None)
+        lo[axis] = slice(0, -1)
+        grad = (q[tuple(hi)] - q[tuple(lo)]) / dx[d]
+        flux = beta[d] * grad
+        fhi = [slice(None)] * flux.ndim
+        flo = [slice(None)] * flux.ndim
+        fhi[axis] = slice(1, None)
+        flo[axis] = slice(0, -1)
+        out = out - (flux[tuple(fhi)] - flux[tuple(flo)]) / dx[d]
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,6 +150,16 @@ class NodalLevel:
         return len(self.n)
 
 
+def nd_apply_raw(level: NodalLevel, phi):
+    """Stencil apply WITHOUT masking phi — used when boundary nodes carry
+    inhomogeneous (coarse-interpolated) values in composite solves."""
+    out = None
+    for o, cf in level.coeffs.items():
+        term = cf * _shift_node(phi, o, level.pmask, level.dm)
+        out = term if out is None else out + term
+    return out
+
+
 def nd_apply(level: NodalLevel, phi):
     if level.mask is not None:
         phi = phi * level.mask

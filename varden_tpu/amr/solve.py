@@ -435,8 +435,11 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, rhs_l, phi0_l=None,
         child = geom.specs[lev + 1]
         sl = []
         for d in range(dm):
+            per = geom.side_kind(lev + 1, d, 0) == "per"
+            count = child.n[d] + (0 if per else 1)
             lo = 2 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
-            sl.append(slice(lo, None, 2))
+            stop = count - 2 if geom.side_kind(lev + 1, d, 1) == "cf" else count
+            sl.append(slice(lo, stop + 1, 2))
         return tuple(sl)
 
     def body(carry):

@@ -1,0 +1,170 @@
+"""Tagging, clustering and regridding.
+
+TPU-native replacement for the reference's tag_boxes -> make_new_grids ->
+enforce_proper_nesting pipeline (initialize.f90:152-342, regrid.f90:20-272):
+tagged cells are clustered into ONE bounding box per level, grown by the
+buffer width and quantized to TPU-friendly multiples so recompilation only
+happens when the box genuinely changes shape.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import problems
+from ..state import Sim, State
+from ..solvers import nodal
+from .fill import MLGeom, pad_ml_multi
+from .hierarchy import LevelSpec, prolong_cells, prolong_nodes
+
+QUANT = 8          # box edges quantized to multiples of this (fine index)
+NEST_BUFFER = 2    # coarse-cell proper-nesting margin (enforce_proper_nesting)
+
+
+def cluster_box(sim: Sim, tags: np.ndarray, tag_spec: LevelSpec,
+                parent_level: int, buf: int,
+                nest_spec: Optional[LevelSpec] = None) -> Optional[LevelSpec]:
+    """Bounding-box clustering of tagged cells on the parent level -> new
+    fine-level spec (fine index space), quantized and properly nested.
+
+    ``tag_spec``: box of the tagged array (index offset); ``nest_spec``: the
+    (possibly new) parent box to nest inside (defaults to tag_spec)."""
+    dm = tags.ndim
+    parent = nest_spec if nest_spec is not None else tag_spec
+    if not tags.any():
+        return None
+    idx = np.argwhere(tags)
+    lo_c = idx.min(axis=0) + np.array(tag_spec.lo)
+    hi_c = idx.max(axis=0) + 1 + np.array(tag_spec.lo)
+    lo_c = lo_c - buf
+    hi_c = hi_c + buf
+
+    dn_parent = [s * 2 ** parent_level for s in sim.n_cell]
+    lo_f, hi_f = [], []
+    for d in range(dm):
+        l = 2 * int(lo_c[d])
+        h = 2 * int(hi_c[d])
+        # quantize to multiples of QUANT (fine index space)
+        l = (l // QUANT) * QUANT
+        h = -((-h) // QUANT) * QUANT
+        dn_f = 2 * dn_parent[d]
+        # proper nesting: stay NEST_BUFFER coarse cells inside the parent box
+        # unless flush with the domain boundary
+        pl = 2 * (parent.lo[d] + NEST_BUFFER) if parent.lo[d] > 0 else 0
+        ph = 2 * (parent.hi[d] - NEST_BUFFER) if parent.hi[d] < dn_parent[d] \
+            else dn_f
+        l = max(l, pl, 0)
+        h = min(h, ph, dn_f)
+        if h - l < 2 * QUANT:
+            mid = (l + h) // 2
+            l = max(min(l, mid - QUANT), 0)
+            h = min(max(h, mid + QUANT), dn_f)
+        lo_f.append(l)
+        hi_f.append(h)
+    if any(h - l <= 0 for l, h in zip(lo_f, hi_f)):
+        return None
+    return LevelSpec(tuple(lo_f), tuple(h - l for l, h in zip(lo_f, hi_f)))
+
+
+def compute_specs(sim: Sim, states: List[State], specs: List[LevelSpec]
+                  ) -> List[LevelSpec]:
+    """New level specs from density tagging of the current state
+    (regrid.f90:131-202 loop)."""
+    buf = max(sim.cfg.amr_buf_width, 2)
+    new_specs = [specs[0]]
+    nlev_avail = len(states)
+    for l in range(sim.cfg.max_levs - 1):
+        if l >= nlev_avail:
+            break
+        rho = np.asarray(states[l].s[0])
+        tags = np.asarray(problems.tag_cells(sim, jnp.asarray(rho), l))
+        child = cluster_box(sim, tags, specs[l], l, buf,
+                            nest_spec=new_specs[l])
+        if child is None:
+            break
+        new_specs.append(child)
+    return new_specs
+
+
+def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
+                     new_specs: List[LevelSpec]) -> List[State]:
+    """Move state onto the new hierarchy: interpolate from the parent, copy
+    where the old fine level overlaps (regrid.f90:274-341), nodal-prolong p."""
+    dm = sim.dm
+    new_states = [states[0]]
+    for l in range(1, len(new_specs)):
+        spec = new_specs[l]
+        parent = new_states[l - 1]
+        pspec = new_specs[l - 1]
+        # interpolate u, s, gp from the parent level
+        def interp(arr):
+            lead = arr.ndim - dm
+            up = prolong_cells(arr, dm)
+            sl = [slice(None)] * lead
+            for d in range(dm):
+                start = spec.lo[d] - 2 * pspec.lo[d]
+                sl.append(slice(start, start + spec.n[d]))
+            return up[tuple(sl)]
+
+        u = interp(parent.u)
+        s = interp(parent.s)
+        gp = interp(parent.gp)
+        # nodal prolongation of p
+        pm_parent = [old_geom.sim.pmask[d] and pspec.lo[d] == 0 and
+                     pspec.hi[d] == sim.n_cell[d] * 2 ** (l - 1)
+                     for d in range(dm)]
+        pc = parent.p
+        for d in range(dm):
+            if pm_parent[d]:
+                slp = [slice(None)] * dm
+                slp[d] = slice(0, 1)
+                pc = jnp.concatenate([pc, pc[tuple(slp)]], axis=d)
+        pup = prolong_nodes(pc, dm)
+        pm_new = [sim.pmask[d] and spec.lo[d] == 0 and
+                  spec.hi[d] == sim.n_cell[d] * 2 ** l for d in range(dm)]
+        slp = []
+        for d in range(dm):
+            count = spec.n[d] + (0 if pm_new[d] else 1)
+            start = spec.lo[d] - 2 * pspec.lo[d]
+            slp.append(slice(start, start + count))
+        p = pup[tuple(slp)]
+
+        # copy-overlap data from the old fine level where it exists
+        if l < len(states):
+            old = states[l]
+            ospec = old_geom.specs[l]
+            lo = [max(spec.lo[d], ospec.lo[d]) for d in range(dm)]
+            hi = [min(spec.hi[d], ospec.hi[d]) for d in range(dm)]
+            if all(h > lo_ for lo_, h in zip(lo, hi)):
+                src = tuple(slice(lo[d] - ospec.lo[d], hi[d] - ospec.lo[d])
+                            for d in range(dm))
+                dst = tuple(slice(lo[d] - spec.lo[d], hi[d] - spec.lo[d])
+                            for d in range(dm))
+                u = u.at[(slice(None),) + dst].set(old.u[(slice(None),) + src])
+                s = s.at[(slice(None),) + dst].set(old.s[(slice(None),) + src])
+                gp = gp.at[(slice(None),) + dst].set(
+                    old.gp[(slice(None),) + src])
+        new_states.append(State(u=u, s=s, gp=gp, p=p))
+    return new_states
+
+
+def initialize_adaptive(sim: Sim) -> Tuple[MLGeom, List[State]]:
+    """Adaptive hierarchy construction (initialize_with_adaptive_grids,
+    initialize.f90:152-342): init level 0, tag, build finer levels from fresh
+    initdata at their own resolution, iterate."""
+    from .hierarchy import domain_spec
+    specs = [domain_spec(sim.n_cell, 0)]
+    states = [problems.initdata(sim)]
+    buf = max(sim.cfg.amr_buf_width, 2)
+    for l in range(sim.cfg.max_levs - 1):
+        rho = states[l].s[0]
+        tags = np.asarray(problems.tag_cells(sim, rho, l))
+        child = cluster_box(sim, tags, specs[l], l, buf)
+        if child is None:
+            break
+        specs.append(child)
+        states.append(problems.initdata_on_spec(sim, child, l + 1))
+    geom = MLGeom(sim, specs)
+    return geom, states

@@ -29,6 +29,9 @@ class Varden:
         self.time = 0.0
         self.dt = 1.0e20
         self.istep = 0
+        self.ml = cfg.max_levs > 1
+        self.geom = None          # MLGeom in multi-level mode
+        self._ml_cache = {}       # (specs, proj_type) -> jitted step
         self._step = {
             projection.REGULAR_TIMESTEP: jax.jit(functools.partial(
                 advance.advance_timestep, self.sim,
@@ -40,6 +43,16 @@ class Varden:
         self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
         self._initial_proj = jax.jit(self._initial_projection_impl)
 
+    # -- multi-level helpers -------------------------------------------
+    def _ml_step_fn(self, proj_type):
+        from .amr import advance_ml
+        key = (tuple(self.geom.specs), proj_type)
+        if key not in self._ml_cache:
+            geom = self.geom
+            self._ml_cache[key] = jax.jit(functools.partial(
+                advance_ml.ml_advance, geom, proj_type=proj_type))
+        return self._ml_cache[key]
+
     # ------------------------------------------------------------------
     def _initial_projection_impl(self, state: State) -> State:
         """Constant-density initial projection (varden.f90:126-138)."""
@@ -49,6 +62,100 @@ class Varden:
             rhohalf, state.p, state.gp, 1.0)
         return State(u=u, s=state.s, gp=jnp.zeros_like(gp),
                      p=jnp.zeros_like(p))
+
+    def initialize_ml(self):
+        """Adaptive hierarchy init + initial projection + pressure iters
+        (reference varden.f90:94-235 with nlevs>1)."""
+        from .amr import advance_ml, regrid as regrid_mod
+        cfg = self.cfg
+        self.geom, states = regrid_mod.initialize_adaptive(self.sim)
+        if cfg.do_initial_projection > 0:
+            def iproj(states):
+                rhohalf = [jnp.ones_like(st.s[0]) for st in states]
+                u, p, gp = advance_ml.hgproject_ml(
+                    self.geom, projection.INITIAL_PROJECTION,
+                    [st.u for st in states], [st.u for st in states],
+                    rhohalf, [st.p for st in states],
+                    [st.gp for st in states], 1.0)
+                return [State(u=u[l], s=states[l].s,
+                              gp=jnp.zeros_like(gp[l]),
+                              p=jnp.zeros_like(p[l]))
+                        for l in range(len(states))]
+            states = jax.jit(iproj)(states)
+        dt = float(advance_ml.ml_estdt(self.geom, states,
+                                       jnp.asarray(-1.0, self.sim.dtype)))
+        self.dt = dt * cfg.init_shrink
+        if cfg.fixed_dt > 0.0:
+            self.dt = cfg.fixed_dt
+        if cfg.stop_time >= 0.0:
+            self.dt = min(self.dt, cfg.stop_time - self.time)
+        for _ in range(cfg.init_iter):
+            st2, _diag = self._ml_step_fn(projection.PRESSURE_ITERS)(
+                states, self.dt)
+            states = [State(u=states[l].u, s=states[l].s,
+                            gp=st2[l].gp, p=st2[l].p)
+                      for l in range(len(states))]
+        return states
+
+    def step_ml(self, states):
+        from .amr import advance_ml, regrid as regrid_mod
+        cfg = self.cfg
+        self.istep += 1
+        if cfg.regrid_int > 0 and (self.istep - 1) % cfg.regrid_int == 0 \
+                and self.istep > 1:
+            new_specs = regrid_mod.compute_specs(self.sim, states,
+                                                 self.geom.specs)
+            if new_specs != list(self.geom.specs):
+                from .amr.fill import MLGeom
+                states = regrid_mod.build_level_data(self.sim, self.geom,
+                                                     states, new_specs)
+                self.geom = MLGeom(self.sim, new_specs)
+        if self.istep > 1:
+            from .amr import advance_ml
+            dtold = self.dt
+            self.dt = float(advance_ml.ml_estdt(
+                self.geom, states, jnp.asarray(dtold, self.sim.dtype)))
+            if cfg.fixed_dt > 0.0:
+                self.dt = cfg.fixed_dt
+            if cfg.stop_time >= 0.0 and self.time + self.dt > cfg.stop_time:
+                self.dt = cfg.stop_time - self.time
+        states, diag = self._ml_step_fn(projection.REGULAR_TIMESTEP)(
+            states, self.dt)
+        self.time += self.dt
+        self.last_diag = diag
+        print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
+              f"DT = {self.dt:14.9f}  (levels: "
+              f"{[s.n for s in self.geom.specs]})")
+        return states
+
+    def run_ml(self, max_step: Optional[int] = None):
+        from .io import output
+        cfg = self.cfg
+        if cfg.restart >= 0:
+            name = f"{cfg.check_base_name}{cfg.restart:05d}"
+            self.geom, states, header = output.read_checkpoint_ml(self.sim,
+                                                                  name)
+            self.time, self.dt = header["time"], header["dt"]
+            self.istep = header["istep"]
+        else:
+            states = self.initialize_ml()
+
+        def write(states):
+            if cfg.plot_int > 0 and self.istep % cfg.plot_int == 0:
+                output.write_plotfile_ml(self.geom, states, self.istep,
+                                         self.time)
+            if cfg.chk_int > 0 and self.istep % cfg.chk_int == 0:
+                output.write_checkpoint_ml(self.geom, states, self.istep,
+                                           self.time, self.dt)
+
+        write(states)
+        max_step = cfg.max_step if max_step is None else max_step
+        while self.istep < max_step and (cfg.stop_time < 0.0 or
+                                         self.time < cfg.stop_time - 1e-14):
+            states = self.step_ml(states)
+            write(states)
+        self.final_states = states
+        return states
 
     def initialize(self, state: Optional[State] = None) -> State:
         cfg = self.cfg
@@ -108,6 +215,8 @@ class Varden:
     def run(self, state: Optional[State] = None,
             max_step: Optional[int] = None) -> State:
         cfg = self.cfg
+        if self.ml:
+            return self.run_ml(max_step)
         if cfg.restart >= 0 and state is None:
             state = self.restart()
         else:

@@ -80,6 +80,70 @@ def read_checkpoint(sim: Sim, name: str):
     return state, header
 
 
+def write_plotfile_ml(geom, states, istep: int, time: float,
+                      base: str = None):
+    """Multi-level BoxLib plotfile (reference varden.f90:492-592)."""
+    from . import boxlib
+    from ..amr.fill import pad_ml_multi
+    from ..ops import basic as _b
+    sim = geom.sim
+    name = f"{base or sim.cfg.plot_base_name}{istep:05d}"
+    u_l = [st.u for st in states]
+    level_arrays = []
+    for l in range(geom.nlev):
+        st = states[l]
+        u_pad = pad_ml_multi(geom, u_l, list(range(sim.dm)), l, sim.ng)
+        vort = _b.vorticity(u_pad, geom.dx(l), sim.ng, geom.specs[l].n)
+        comps = [st.u[d] for d in range(sim.dm)]
+        comps += [st.s[i] for i in range(sim.nscal)]
+        comps += [_b.magvel(st.u), vort]
+        comps += [st.gp[d] for d in range(sim.dm)]
+        level_arrays.append(np.stack([np.asarray(c) for c in comps]))
+    boxlib.write_plotfile(name, sim, level_arrays[0], plot_field_names(sim),
+                          time, level_fields=level_arrays[1:],
+                          level_los=[list(geom.specs[l].lo)
+                                     for l in range(1, geom.nlev)])
+    return name
+
+
+def write_checkpoint_ml(geom, states, istep: int, time: float, dt: float,
+                        base: str = None):
+    """Multi-level checkpoint: per-level State + specs in the header
+    (reference checkpoint.f90:14-83)."""
+    sim = geom.sim
+    name = f"{base or sim.cfg.check_base_name}{istep:05d}"
+    os.makedirs(name, exist_ok=True)
+    for l, st in enumerate(states):
+        np.savez(os.path.join(name, f"state_l{l}.npz"),
+                 u=np.asarray(st.u), s=np.asarray(st.s),
+                 gp=np.asarray(st.gp), p=np.asarray(st.p))
+    header = {"time": time, "dt": dt, "nlevs": geom.nlev, "istep": istep,
+              "n_cell": list(sim.n_cell), "dim": sim.dm,
+              "specs": [[list(s.lo), list(s.n)] for s in geom.specs]}
+    with open(os.path.join(name, "Header.json"), "w") as f:
+        json.dump(header, f)
+    write_job_info(name, sim)
+    return name
+
+
+def read_checkpoint_ml(sim: Sim, name: str):
+    from ..amr.fill import MLGeom
+    from ..amr.hierarchy import LevelSpec
+    with open(os.path.join(name, "Header.json")) as f:
+        header = json.load(f)
+    specs = [LevelSpec(tuple(lo), tuple(n)) for lo, n in header["specs"]]
+    geom = MLGeom(sim, specs)
+    states = []
+    dtype = sim.dtype
+    for l in range(header["nlevs"]):
+        data = np.load(os.path.join(name, f"state_l{l}.npz"))
+        states.append(State(u=jnp.asarray(data["u"], dtype),
+                            s=jnp.asarray(data["s"], dtype),
+                            gp=jnp.asarray(data["gp"], dtype),
+                            p=jnp.asarray(data["p"], dtype)))
+    return geom, states, header
+
+
 def write_job_info(dirname: str, sim: Sim):
     """Provenance dump (reference write_job_info.f90:54-144)."""
     import dataclasses

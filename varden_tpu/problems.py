@@ -11,12 +11,14 @@ import numpy as np
 from .state import Sim, State
 
 
-def _cell_coords(sim: Sim, include_prob_lo: bool, dx=None, n_cell=None):
+def _cell_coords(sim: Sim, include_prob_lo: bool, dx=None, n_cell=None,
+                 lo=None):
     dx = sim.dx if dx is None else dx
     n_cell = sim.n_cell if n_cell is None else n_cell
+    lo = (0,) * sim.dm if lo is None else lo
     axes = []
     for d in range(sim.dm):
-        x = dx[d] * (np.arange(n_cell[d]) + 0.5)
+        x = dx[d] * (lo[d] + np.arange(n_cell[d]) + 0.5)
         if include_prob_lo:
             x = sim.cfg.prob_lo[d] + x
         axes.append(x)
@@ -30,20 +32,23 @@ def _interface_h(x, prob_lo, prob_hi):
             0.01 * np.sin(8.0 * np.pi * x * L))
 
 
-def initdata(sim: Sim, dx=None, n_cell=None) -> State:
-    """Initial (u, s) for the configured prob_type; gp = p = 0."""
+def initdata(sim: Sim, dx=None, n_cell=None, lo=None, node_shape=None) -> State:
+    """Initial (u, s) for the configured prob_type; gp = p = 0.
+
+    dx/n_cell/lo allow evaluation on a fine AMR box (initdata_on_level,
+    reference initdata.f90:19-59)."""
     cfg = sim.cfg
     dm = sim.dm
     pt = cfg.prob_type
     n_cell = sim.n_cell if n_cell is None else n_cell
-    st = sim.zero_state() if n_cell == sim.n_cell else None
     dtype = sim.dtype
 
     u = np.zeros((dm,) + tuple(n_cell))
     s = np.zeros((cfg.nscal,) + tuple(n_cell))
 
     if pt in (1, 2):
-        coords = _cell_coords(sim, include_prob_lo=False, dx=dx, n_cell=n_cell)
+        coords = _cell_coords(sim, include_prob_lo=False, dx=dx,
+                              n_cell=n_cell, lo=lo)
         blob = [0.5] * dm
         densfact = 2.0 if dm == 2 else 10.0
         blobrad = 0.1
@@ -55,7 +60,8 @@ def initdata(sim: Sim, dx=None, n_cell=None) -> State:
         if pt == 2:
             u[0] = 1.0
     elif pt == 3:
-        coords = _cell_coords(sim, include_prob_lo=True, dx=dx, n_cell=n_cell)
+        coords = _cell_coords(sim, include_prob_lo=True, dx=dx,
+                              n_cell=n_cell, lo=lo)
         hperp = _interface_h(coords[0], cfg.prob_lo, cfg.prob_hi)
         if dm == 3:
             hperp = hperp + _interface_h(coords[1], cfg.prob_lo, cfg.prob_hi)
@@ -65,7 +71,8 @@ def initdata(sim: Sim, dx=None, n_cell=None) -> State:
         assert dm == 3, "vortex tube is 3-D (initdata.f90:276-306)"
         eps_i, rho_i, beta_i = 0.05, 0.15, 15.0
         delta_i, kappa_i = 0.0333, 500.0
-        coords = _cell_coords(sim, include_prob_lo=True, dx=dx, n_cell=n_cell)
+        coords = _cell_coords(sim, include_prob_lo=True, dx=dx,
+                              n_cell=n_cell, lo=lo)
         x, y, z = [c - 0.5 for c in coords]
         r_yz = np.sqrt(y * y + z * z)
         u[0] = np.tanh((rho_i - r_yz) / delta_i)
@@ -77,9 +84,22 @@ def initdata(sim: Sim, dx=None, n_cell=None) -> State:
         raise ValueError(f"Unsupported prob_type {pt}")
 
     from .solvers import nodal
+    if node_shape is None:
+        node_shape = nodal.node_shape(tuple(n_cell), sim.pmask)
     return State(u=jnp.asarray(u, dtype), s=jnp.asarray(s, dtype),
                  gp=jnp.zeros((dm,) + tuple(n_cell), dtype),
-                 p=jnp.zeros(nodal.node_shape(tuple(n_cell), sim.pmask), dtype))
+                 p=jnp.zeros(node_shape, dtype))
+
+
+def initdata_on_spec(sim: Sim, spec, level: int) -> State:
+    """initdata evaluated on a fine-level box (initdata_on_level)."""
+    from .solvers import nodal
+    dx_l = tuple(h / 2 ** level for h in sim.dx)
+    dn = tuple(s * 2 ** level for s in sim.n_cell)
+    pm = tuple(sim.pmask[d] and spec.lo[d] == 0 and spec.hi[d] == dn[d]
+               for d in range(sim.dm))
+    return initdata(sim, dx=dx_l, n_cell=spec.n, lo=spec.lo,
+                    node_shape=nodal.node_shape(spec.n, pm))
 
 
 def tag_cells(sim: Sim, rho: jnp.ndarray, level: int) -> jnp.ndarray:

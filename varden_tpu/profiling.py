@@ -1,0 +1,148 @@
+"""Profiling / tracing.
+
+TPU-native equivalent of the reference's bl_prof scoped timers and the
+per-step phase "Timing summary" (advance_timestep.f90:150-166, main.f90:17-29):
+
+  * ``scoped``/``report`` — host-side named timers with a bl_prof_res-style
+    aggregate report (enable with profile=True on the driver, or use directly)
+  * ``profile_phases`` — runs the four timestep phases as separately jitted,
+    blocking calls and prints the reference's Scalar/Velocity/MAC/HG summary
+  * ``trace`` — wraps jax.profiler tracing for TensorBoard-grade timelines
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict
+
+import jax
+
+_records: Dict[str, list] = defaultdict(list)
+
+
+@contextlib.contextmanager
+def scoped(name: str, block_on=None):
+    """bl_prof_timer equivalent: `with profiling.scoped("macproject"): ...`"""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        _records[name].append(time.perf_counter() - t0)
+
+
+def reset():
+    _records.clear()
+
+
+def report() -> str:
+    """bl_prof_glean-style aggregate (main.f90:27-29)."""
+    lines = ["%-28s %8s %12s %12s" % ("REGION", "COUNT", "TOTAL(s)", "MEAN(s)")]
+    for name, ts in sorted(_records.items(), key=lambda kv: -sum(kv[1])):
+        lines.append("%-28s %8d %12.6f %12.6f"
+                     % (name, len(ts), sum(ts), sum(ts) / len(ts)))
+    return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/varden_trace"):
+    """jax.profiler trace scope (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def profile_phases(sim, state, dt, n_rep: int = 3):
+    """Per-phase wall times of one timestep, each phase separately jitted and
+    blocked — the reference's per-step timing summary
+    (advance_timestep.f90:150-166). Returns {phase: seconds}."""
+    import functools
+    import jax.numpy as jnp
+    from . import advance, projection
+    from .ops import basic, godunov, godunov3d
+
+    cfg = sim.cfg
+    dm, ng, n = sim.dm, sim.ng, sim.n_cell
+    adv_bc_vel = [sim.adv_bc[d] for d in range(dm)]
+    adv_bc_scal = [sim.adv_bc[sim.scal_comp(i)] for i in range(sim.nscal)]
+    is_cons = [True] + [False] * (sim.nscal - 1)
+
+    @jax.jit
+    def premac(state, dt):
+        lapu = jnp.zeros_like(state.u)
+        vf = basic.mkvelforce(cfg.ext_force, state.s, state.gp, lapu,
+                              cfg.visc_coef, 1.0, cfg.boussinesq)
+        u_pad = sim.fill_vel(state.u)
+        vf_pad = sim.fill_extrap(vf, ng)
+        if dm == 2:
+            return godunov.velpred_2d(u_pad, vf_pad, dt, sim.dx, sim.phys_bc,
+                                      adv_bc_vel, ng, n, cfg.slope_order,
+                                      cfg.use_minion)
+        return godunov3d.velpred_3d(u_pad, vf_pad, dt, sim.dx, sim.phys_bc,
+                                    adv_bc_vel, ng, n, cfg.slope_order,
+                                    cfg.use_minion)
+
+    @jax.jit
+    def mac(state, umac):
+        return projection.macproject(sim, umac, state.s[0])
+
+    @jax.jit
+    def scalar(state, umac, dt):
+        from .advance import embed_faces
+        laps = jnp.zeros_like(state.s)
+        sf = basic.mkscalforce(jnp.zeros_like(state.s), laps, cfg.diff_coef, 1.0)
+        s_pad = sim.fill_scal(state.s)
+        sf_pad = sim.fill_extrap(sf, ng)
+        mrhs = sim.fill_extrap(jnp.zeros(n, sim.dtype), ng)
+        mp = embed_faces(sim, umac, ng)
+        if dm == 2:
+            ex, ey, fx, fy = godunov.mkflux_2d(
+                s_pad, mp[0], mp[1], sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
+                adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+                cfg.use_minion)
+            sedge, sflux = (ex, ey), (fx, fy)
+        else:
+            sedge, sflux = godunov3d.mkflux_3d(
+                s_pad, mp, sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
+                adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+                cfg.use_minion)
+        sf2 = basic.mkscalforce(jnp.zeros_like(state.s), laps, cfg.diff_coef, 0.0)
+        return basic.update(state.s, umac, sedge, sflux, sf2, dt, sim.dx, is_cons)
+
+    @jax.jit
+    def hg(state, snew, dt):
+        rhohalf = basic.make_at_halftime(state.s[0], snew[0])
+        return projection.hgproject(sim, projection.REGULAR_TIMESTEP,
+                                    state.u, state.u, rhohalf, state.p,
+                                    state.gp, dt)
+
+    phases = {}
+    umac = premac(state, dt)
+    jax.block_until_ready(umac)
+    umac2, _, _ = mac(state, umac)
+    jax.block_until_ready(umac2)
+    snew = scalar(state, umac2, dt)
+    jax.block_until_ready(snew)
+    out = hg(state, snew, dt)
+    jax.block_until_ready(out)
+
+    def timeit(fn, *args):
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n_rep
+
+    phases["Velocity update (premac)"] = timeit(premac, state, dt)
+    phases["MAC Projection"] = timeit(mac, state, umac)
+    phases["Scalar update"] = timeit(scalar, state, umac2, dt)
+    phases["HG Projection"] = timeit(hg, state, snew, dt)
+
+    print("Timing summary:")
+    for k, v in phases.items():
+        print(f"  {k}: {v:.6f} seconds")
+    return phases

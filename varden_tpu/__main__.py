@@ -1,0 +1,65 @@
+"""Program entry: the reference's main program (src/main.f90:1-56).
+
+Usage:
+    python -m varden_tpu inputs_file [--key value ...]
+
+Reads a reference-format &PROBIN namelist, applies --key value command-line
+overrides (probin.template:107-126), runs the simulation, and reports total
+wall time and device memory statistics (main.f90:31-52 equivalents).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        return 1
+    path = argv[0]
+    overrides = {}
+    i = 1
+    while i < len(argv):
+        key = argv[i].lstrip("-")
+        val = argv[i + 1]
+        overrides[key] = val
+        i += 2
+
+    from .config import load_config, VardenConfig
+    import dataclasses
+    cfg = load_config(path)
+    if overrides:
+        fields = {f.name: f for f in dataclasses.fields(VardenConfig)}
+        typed = {}
+        for k, v in overrides.items():
+            if k not in fields:
+                print(f"warning: unknown parameter --{k}")
+                continue
+            cur = getattr(cfg, k)
+            typed[k] = type(cur)(v) if not isinstance(cur, bool) else \
+                v.lower() in ("t", "true", ".true.", "1")
+        cfg = dataclasses.replace(cfg, **typed)
+
+    from .driver import Varden
+    t0 = time.perf_counter()
+    v = Varden(cfg)
+    v.run()
+    wall = time.perf_counter() - t0
+    print(f"Run time = {wall:.6f}")
+    try:
+        for d in jax.local_devices():
+            stats = d.memory_stats()
+            if stats:
+                print(f"[{d}] bytes_in_use={stats.get('bytes_in_use', 0)} "
+                      f"peak={stats.get('peak_bytes_in_use', 0)}")
+    except Exception:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

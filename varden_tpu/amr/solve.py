@@ -277,7 +277,8 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         phis = list(phis)
         res = residuals(phis)
         r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
-        d0 = mg.v_cycle(hiers[0], jnp.zeros_like(r0), r0, [[0.0, 0.0]] * dm)
+        d0 = mg.v_cycle(hiers[0], jnp.zeros_like(r0), r0, [[0.0, 0.0]] * dm,
+                        singular=singular)
         phis[0] = phis[0] + d0
         d_prev = d0
         for l in range(1, nlev):

@@ -311,24 +311,42 @@ def bicgstab(apply_fn, rhs, x0, tol, max_iter=100):
     return out["x"]
 
 
+def bottom_dense_solve(level: CCLevel, r, singular: bool):
+    """Direct bottom solve: materialize the (tiny) coarsest operator by a
+    vmapped application to the identity and solve densely — one MXU solve
+    instead of a sequential Krylov loop (the latency killer on TPU). The
+    reference's bottom-solver knobs (mg_bottom_solver, _parameters:55-57)
+    pick among iterative options; a direct solve strictly dominates at this
+    size."""
+    n = level.n
+    N = 1
+    for s in n:
+        N *= s
+    zero_bv = [[0.0, 0.0]] * level.dm
+    eye = jnp.eye(N, dtype=r.dtype)
+    cols = jax.vmap(lambda e: cc_apply(level, e.reshape(n), zero_bv).ravel())(eye)
+    A = cols.T
+    if singular:
+        # regularize along the constant null space; with a mean-free rhs the
+        # solution is the mean-free solution
+        A = A + jnp.full((N, N), 1.0 / N, r.dtype)
+    return jnp.linalg.solve(A, r.ravel()).reshape(n)
+
+
 def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
-            nu1=DEFAULT_NU1, nu2=DEFAULT_NU2):
+            nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, singular=False):
     level = levels[lev]
     bv = bvals if lev == 0 else [[0.0, 0.0]] * level.dm
     if lev == len(levels) - 1:
-        phi = gsrb(level, phi, rhs, bv, 2)
-        # Homogenize so the Krylov solver sees a purely linear operator even
-        # under inhomogeneous Dirichlet values at lev 0.
-        zero_bv = [[0.0, 0.0]] * level.dm
-        lin_apply = partial(cc_apply, level, bvals=zero_bv)
         r = rhs - cc_apply(level, phi, bv)
-        delta = bicgstab(lin_apply, r, jnp.zeros_like(r), 1.0e-3)  # bottom_solver_eps, mac_multigrid.f90:56
-        return phi + delta
+        if singular:
+            r = r - jnp.mean(r)
+        return phi + bottom_dense_solve(level, r, singular)
     phi = gsrb(level, phi, rhs, bv, nu1)
     res = rhs - cc_apply(level, phi, bv)
     crs = _cell_avg_down(res, level.dm)
     corr = jnp.zeros_like(crs)
-    corr = v_cycle(levels, corr, crs, bvals, lev + 1, nu1, nu2)
+    corr = v_cycle(levels, corr, crs, bvals, lev + 1, nu1, nu2, singular)
     # piecewise-constant prolongation
     for d in range(level.dm):
         axis = corr.ndim - level.dm + d
@@ -377,7 +395,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
 
     def body(carry):
         phi, k, _ = carry
-        phi = v_cycle(levels, phi, rhs, bvals, 0, nu1, nu2)
+        phi = v_cycle(levels, phi, rhs, bvals, 0, nu1, nu2, singular)
         if singular:
             phi = phi - jnp.mean(phi)
         return phi, k + 1, resnorm(phi)

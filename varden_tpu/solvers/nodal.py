@@ -259,15 +259,35 @@ def node_shape(n, pmask):
     return tuple(nd if p else nd + 1 for nd, p in zip(n, pmask))
 
 
+def bottom_dense_solve(level: NodalLevel, r):
+    """Direct dense bottom solve via a vmapped operator application — one MXU
+    solve instead of a sequential Krylov loop (TPU latency)."""
+    shape = r.shape
+    N = 1
+    for s in shape:
+        N *= s
+    eye = jnp.eye(N, dtype=r.dtype)
+    cols = jax.vmap(lambda e: nd_apply(level, e.reshape(shape)).ravel())(eye)
+    A = cols.T
+    if level.mask is None:
+        A = A + jnp.full((N, N), 1.0 / N, r.dtype)
+        r = r - jnp.mean(r)
+    else:
+        # identity rows for fixed (Dirichlet) nodes
+        m = level.mask.ravel()
+        A = A + jnp.diag(1.0 - m)
+        r = r * level.mask
+    out = jnp.linalg.solve(A, r.ravel()).reshape(shape)
+    if level.mask is not None:
+        out = out * level.mask
+    return out
+
+
 def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2):
     level = levels[lev]
     if lev == len(levels) - 1:
-        phi = jacobi(level, phi, rhs, 2)
         r = rhs - nd_apply(level, phi)
-        delta = bicgstab(partial(nd_apply, level), r, jnp.zeros_like(r), 1.0e-3)
-        if level.mask is not None:
-            delta = delta * level.mask
-        return phi + delta
+        return phi + bottom_dense_solve(level, r)
     phi = jacobi(level, phi, rhs, nu1)
     res = rhs - nd_apply(level, phi)
     crs_rhs = _restrict(res, level.pmask, level.dm)

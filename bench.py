@@ -1,8 +1,10 @@
 """Headline benchmark: cell-updates/sec on the full advance_timestep.
 
 Runs the 3-D variable-density bubble (the reference's flagship regression
-config, scaled up) on whatever accelerator is attached, times steady-state
-steps of the fully-jitted timestep, and prints ONE JSON line.
+config, scaled up) on whatever accelerator is attached and times steady-state
+steps of the fully-jitted timestep. Timing is differenced ((t(K2)-t(K1)) /
+(K2-K1)) around host-scalar syncs, which stays honest on platforms where
+block_until_ready does not block (e.g. tunneled TPUs).
 
 vs_baseline uses BASELINE.md's generated-baseline convention: the reference
 publishes no numbers (BASELINE.json "published": {}), so we normalize against
@@ -22,8 +24,9 @@ ASSUMED_FORTRAN_BASELINE = 2.0e6  # cell-updates/sec, single node (see above)
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "64"))
-    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    n = int(os.environ.get("BENCH_N", "128"))
+    k1 = int(os.environ.get("BENCH_K1", "2"))
+    k2 = int(os.environ.get("BENCH_K2", "10"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     from varden_tpu.config import VardenConfig
@@ -35,7 +38,7 @@ def main():
         bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15,
         grav=-9.8, visc_coef=1e-3, cflfac=0.5, dtype=dtype)
     sim = Sim(cfg)
-    state = problems.initdata(sim)
+    state0 = problems.initdata(sim)
 
     @jax.jit
     def step(state, dt):
@@ -44,21 +47,25 @@ def main():
         return new_state
 
     dt = jnp.asarray(5e-4, sim.dtype)
-    # warmup / compile
-    state = step(state, dt)
-    jax.block_until_ready(state.u)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state = step(state, dt)
-    jax.block_until_ready(state.u)
-    elapsed = time.perf_counter() - t0
+    def run(k):
+        t0 = time.perf_counter()
+        s = state0
+        for _ in range(k):
+            s = step(s, dt)
+        _ = float(jnp.sum(s.u))  # host pull forces completion
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t1 = min(run(k1) for _ in range(2))
+    t2 = min(run(k2) for _ in range(2))
+    per_step = (t2 - t1) / (k2 - k1)
 
     cells = n ** 3
-    cups = cells * steps / elapsed
+    cups = cells / per_step
     print(json.dumps({
         "metric": f"cell-updates/sec/chip, 3D {n}^3 variable-density bubble, "
-                  f"full timestep ({dtype})",
+                  f"full timestep ({dtype}, differenced timing)",
         "value": round(cups, 1),
         "unit": "cell-updates/s",
         "vs_baseline": round(cups / ASSUMED_FORTRAN_BASELINE, 3),

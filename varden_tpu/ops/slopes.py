@@ -55,22 +55,29 @@ def slope(s: jnp.ndarray, axis: int, ng: int, bc_lo: int, bc_hi: int,
     if not (lo_edge or hi_edge):
         return sl
 
-    # One-sided boundary treatment. Positions along ``axis``:
-    #   ghost cell just outside: ng-1 (lo) / ng+n_interior (hi) -> slope 0
-    #   first interior cell:     ng       / ng+n_interior-1     -> one-sided
-    #   second interior cell (order 4 only): recomputed with revised fromm.
-    idx = jnp.arange(s.shape[axis])
-    bshape = [1] * s.ndim
-    bshape[axis] = s.shape[axis]
-    idx = idx.reshape(bshape)
+    # One-sided boundary treatment, computed only on the boundary SLABS
+    # (one plane each) rather than as full-array selects. Positions along
+    # ``axis``: ghost cell just outside -> 0; first interior -> one-sided
+    # formula; second interior (order 4) -> recomputed with revised fromm.
     i_lo, i_hi = ng, ng + n_interior - 1
+
+    def plane(arr, i):
+        sl_ = [slice(None)] * arr.ndim
+        sl_[axis] = slice(i, i + 1)
+        return arr[tuple(sl_)]
+
+    def set_plane(arr, i, val):
+        sl_ = [slice(None)] * arr.ndim
+        sl_[axis] = slice(i, i + 1)
+        return arr.at[tuple(sl_)].set(val)
 
     def one_sided(sgn, sl_cur):
         # sgn=+1 for lo side (interior to the right), -1 for hi side.
-        s0 = s
-        s1 = shift(s, axis, sgn)
-        s2 = shift(s, axis, 2 * sgn)
-        sg = shift(s, axis, -sgn)  # the boundary ghost cell
+        i_first = i_lo if sgn > 0 else i_hi
+        s0 = plane(s, i_first)
+        s1 = plane(s, i_first + sgn)
+        s2 = plane(s, i_first + 2 * sgn)
+        sg = plane(s, i_first - sgn)  # the boundary ghost cell
         if order == 2:
             cen_b = sgn * (s1 + 3.0 * s0 - 4.0 * sg) / 3.0
         else:
@@ -80,21 +87,17 @@ def slope(s: jnp.ndarray, axis: int, ng: int, bc_lo: int, bc_hi: int,
         d_in = 2.0 * sgn * (s1 - s0)
         # the MC limiter is symmetric in (dpls, dmin); order is immaterial
         sl_b, _ = _mc_limit(d_in, d_out, cen_b)
-        i_first = i_lo if sgn > 0 else i_hi
-        i_ghost = i_first - sgn
-        sl_cur = jnp.where(idx == i_ghost, 0.0, sl_cur)
-        sl_cur = jnp.where(idx == i_first, sl_b, sl_cur)
+        sl_cur = set_plane(sl_cur, i_first - sgn, jnp.zeros_like(sl_b))
+        sl_cur = set_plane(sl_cur, i_first, sl_b)
         if order == 4:
             # Recompute the slope one cell further in using the revised
             # boundary slope as that cell's neighbor Fromm value
-            # (slope.f90:264-269, 284-286). Evaluated at i_first (where sl_b
-            # lives), describing cell i_first+sgn:
-            ds2 = (4.0 / 3.0) * shift(cen, axis, sgn) - (1.0 / 6.0) * (
-                shift(fromm, axis, 2 * sgn) + sl_b)
-            sl2 = shift(flag, axis, sgn) * jnp.minimum(
-                jnp.abs(ds2), shift(lim, axis, sgn))
-            sl_cur = jnp.where(idx == i_first + sgn, shift(sl2, axis, -sgn),
-                               sl_cur)
+            # (slope.f90:264-269, 284-286):
+            i2 = i_first + sgn
+            ds2 = (4.0 / 3.0) * plane(cen, i2) - (1.0 / 6.0) * (
+                plane(fromm, i2 + sgn) + sl_b)
+            sl2 = plane(flag, i2) * jnp.minimum(jnp.abs(ds2), plane(lim, i2))
+            sl_cur = set_plane(sl_cur, i2, sl2)
         return sl_cur
 
     if lo_edge:

@@ -130,11 +130,18 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
     out = hg(state, snew, dt)
     jax.block_until_ready(out)
 
+    def _force(r):
+        # some experimental platforms do not block in block_until_ready;
+        # a host scalar pull always does
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return float(jnp.sum(leaf))
+
     def timeit(fn, *args):
+        _force(fn(*args))  # sync before timing
         t0 = time.perf_counter()
         for _ in range(n_rep):
             r = fn(*args)
-        jax.block_until_ready(r)
+        _force(r)
         return (time.perf_counter() - t0) / n_rep
 
     phases["Velocity update (premac)"] = timeit(premac, state, dt)

@@ -363,7 +363,7 @@ def is_singular(ell_bc, alpha) -> bool:
 
 def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
           rel_eps=1.0e-12, abs_eps=-1.0, max_cycles=DEFAULT_MAX_CYCLES,
-          nu1=DEFAULT_NU1, nu2=DEFAULT_NU2):
+          nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, return_info=False):
     """Solve (alpha*aco - div beta grad) phi = rhs. Returns (phi, resnorm).
 
     Mirrors the solver interface of the reference's mac_multigrid.f90:53-62
@@ -389,16 +389,23 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     def resnorm(phi):
         return jnp.max(jnp.abs(rhs - cc_apply(levels[0], phi, bvals)))
 
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
     def cond(carry):
-        phi, k, rn = carry
-        return jnp.logical_and(k < max_cycles, rn > tol)
+        phi, k, rn, prev = carry
+        improving = rn < 0.7 * prev  # stop at the dtype's roundoff floor
+        return jnp.logical_and(jnp.logical_and(k < max_cycles, rn > tol),
+                               improving)
 
     def body(carry):
-        phi, k, _ = carry
+        phi, k, rn, _ = carry
         phi = v_cycle(levels, phi, rhs, bvals, 0, nu1, nu2, singular)
         if singular:
             phi = phi - jnp.mean(phi)
-        return phi, k + 1, resnorm(phi)
+        return phi, k + 1, resnorm(phi), rn
 
-    phi, _, rn = jax.lax.while_loop(cond, body, (phi0, jnp.array(0), resnorm(phi0)))
+    phi, iters, rn, _ = jax.lax.while_loop(
+        cond, body, (phi0, jnp.array(0), resnorm(phi0), big))
+    if return_info:
+        return phi, (rn, iters)
     return phi, rn

@@ -50,8 +50,12 @@ def lap_tracers(sim: Sim, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-def advance_timestep(sim: Sim, state: State, dt, proj_type: int
+def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
+                     hints: Dict = None
                      ) -> Tuple[State, Dict[str, jnp.ndarray]]:
+    """One full timestep. ``hints`` optionally carries the previous step's
+    projection solutions ({'phi_mac', 'phi_hg'}) to warm-start the elliptic
+    solves; the new ones are returned in the diag dict."""
     cfg = sim.cfg
     dm, dx, n, ng = sim.dm, sim.dx, sim.n_cell, sim.ng
     uold, sold, gp, p = state.u, state.s, state.gp, state.p
@@ -82,7 +86,9 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int
                                     cfg.use_minion)
 
     # ---- MAC projection
-    umac, div_b, div_a = projection.macproject(sim, umac, sold[0], mac_rhs)
+    phi_mac0 = None if hints is None else hints.get("phi_mac")
+    umac, div_b, div_a, phi_mac = projection.macproject(
+        sim, umac, sold[0], mac_rhs, phi0=phi_mac0)
 
     # ---- scalar advance
     if cfg.diff_coef > 0.0:
@@ -157,12 +163,15 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int
                                      visc_mu, cfg.diffusion_type)
 
     # ---- nodal projection
-    unew, p, gp = projection.hgproject(sim, proj_type, unew, uold, rhohalf,
-                                       p, gp, dt)
+    phi_hg0 = None if hints is None else hints.get("phi_hg")
+    unew, p, gp, phi_hg = projection.hgproject(sim, proj_type, unew, uold,
+                                               rhohalf, p, gp, dt,
+                                               phi0=phi_hg0)
 
     diag = {"div_before": div_b, "div_after": div_a,
             "smin": jnp.min(snew[0]), "smax": jnp.max(snew[0]),
-            "umax": jnp.max(jnp.abs(unew))}
+            "umax": jnp.max(jnp.abs(unew)),
+            "phi_mac": phi_mac, "phi_hg": phi_hg}
     return State(u=unew, s=snew, gp=gp, p=p), diag
 
 

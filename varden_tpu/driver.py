@@ -32,14 +32,13 @@ class Varden:
         self.ml = cfg.max_levs > 1
         self.geom = None          # MLGeom in multi-level mode
         self._ml_cache = {}       # (specs, proj_type) -> jitted step
+        sim = self.sim
         self._step = {
-            projection.REGULAR_TIMESTEP: jax.jit(functools.partial(
-                advance.advance_timestep, self.sim,
-                proj_type=projection.REGULAR_TIMESTEP)),
-            projection.PRESSURE_ITERS: jax.jit(functools.partial(
-                advance.advance_timestep, self.sim,
-                proj_type=projection.PRESSURE_ITERS)),
+            pt: jax.jit(lambda st, dt, h, _pt=pt: advance.advance_timestep(
+                sim, st, dt, _pt, hints=h))
+            for pt in (projection.REGULAR_TIMESTEP, projection.PRESSURE_ITERS)
         }
+        self._hints = None
         self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
         self._initial_proj = jax.jit(self._initial_projection_impl)
 
@@ -57,7 +56,7 @@ class Varden:
     def _initial_projection_impl(self, state: State) -> State:
         """Constant-density initial projection (varden.f90:126-138)."""
         rhohalf = jnp.ones_like(state.s[0])
-        u, p, gp = projection.hgproject(
+        u, p, gp, _phi = projection.hgproject(
             self.sim, projection.INITIAL_PROJECTION, state.u, state.u,
             rhohalf, state.p, state.gp, 1.0)
         return State(u=u, s=state.s, gp=jnp.zeros_like(gp),
@@ -157,6 +156,12 @@ class Varden:
         self.final_states = states
         return states
 
+    def _zero_hints(self):
+        from .solvers import nodal
+        sim = self.sim
+        return {"phi_mac": jnp.zeros(sim.n_cell, sim.dtype),
+                "phi_hg": jnp.zeros(sim.node_shape(), sim.dtype)}
+
     def initialize(self, state: Optional[State] = None) -> State:
         cfg = self.cfg
         if state is None:
@@ -172,9 +177,13 @@ class Varden:
             if cfg.stop_time >= 0.0:
                 self.dt = min(self.dt, cfg.stop_time - self.time)
             # initial pressure iterations (varden.f90:460-490)
+            hints = self._zero_hints()
             for _ in range(cfg.init_iter):
-                st2, _diag = self._step[projection.PRESSURE_ITERS](state, self.dt)
+                st2, diag = self._step[projection.PRESSURE_ITERS](
+                    state, self.dt, hints)
+                hints = {"phi_mac": diag["phi_mac"], "phi_hg": diag["phi_hg"]}
                 state = State(u=state.u, s=state.s, gp=st2.gp, p=st2.p)
+            self._hints = hints
         return state
 
     def step(self, state: State) -> State:
@@ -188,7 +197,11 @@ class Varden:
                 self.dt = cfg.fixed_dt
             if cfg.stop_time >= 0.0 and self.time + self.dt > cfg.stop_time:
                 self.dt = cfg.stop_time - self.time
-        state, diag = self._step[projection.REGULAR_TIMESTEP](state, self.dt)
+        if self._hints is None:
+            self._hints = self._zero_hints()
+        state, diag = self._step[projection.REGULAR_TIMESTEP](
+            state, self.dt, self._hints)
+        self._hints = {"phi_mac": diag["phi_mac"], "phi_hg": diag["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
         if cfg.verbose >= 1:
@@ -206,10 +219,12 @@ class Varden:
         from .io import output
         cfg = self.cfg
         name = f"{cfg.check_base_name}{cfg.restart:05d}"
-        state, header = output.read_checkpoint(self.sim, name)
+        state, header, hints = output.read_checkpoint(self.sim, name)
         self.time = header["time"]
         self.dt = header["dt"]
         self.istep = header["istep"]
+        if hints is not None:
+            self._hints = hints
         return state
 
     def run(self, state: Optional[State] = None,
@@ -238,7 +253,8 @@ class Varden:
             if cfg.plot_int > 0 and v.istep % cfg.plot_int == 0:
                 output.write_plotfile(v.sim, state, v.istep, v.time, v.dt)
             if cfg.chk_int > 0 and v.istep % cfg.chk_int == 0:
-                output.write_checkpoint(v.sim, state, v.istep, v.time, v.dt)
+                output.write_checkpoint(v.sim, state, v.istep, v.time, v.dt,
+                                        hints=v._hints)
         return write
 
 

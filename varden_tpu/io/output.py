@@ -51,14 +51,18 @@ def write_plotfile(sim: Sim, state: State, istep: int, time: float, dt: float,
 
 
 def write_checkpoint(sim: Sim, state: State, istep: int, time: float,
-                     dt: float, base: str = None):
+                     dt: float, base: str = None, hints=None):
     """Checkpoint contents mirror reference checkpoint.f90:36-79:
-    cell state [u|s|gp] + nodal p + scalar header."""
+    cell state [u|s|gp] + nodal p + scalar header (+ projection warm-start
+    hints so restarts resume bitwise)."""
     name = f"{base or sim.cfg.check_base_name}{istep:05d}"
     os.makedirs(name, exist_ok=True)
+    extra = {} if hints is None else {
+        "phi_mac": np.asarray(hints["phi_mac"]),
+        "phi_hg": np.asarray(hints["phi_hg"])}
     np.savez(os.path.join(name, "state.npz"),
              u=np.asarray(state.u), s=np.asarray(state.s),
-             gp=np.asarray(state.gp), p=np.asarray(state.p))
+             gp=np.asarray(state.gp), p=np.asarray(state.p), **extra)
     header = {"time": time, "dt": dt, "nlevs": 1, "istep": istep,
               "n_cell": list(sim.n_cell), "dim": sim.dm}
     with open(os.path.join(name, "Header.json"), "w") as f:
@@ -77,7 +81,11 @@ def read_checkpoint(sim: Sim, name: str):
                   s=jnp.asarray(data["s"], dtype),
                   gp=jnp.asarray(data["gp"], dtype),
                   p=jnp.asarray(data["p"], dtype))
-    return state, header
+    hints = None
+    if "phi_mac" in data:
+        hints = {"phi_mac": jnp.asarray(data["phi_mac"], dtype),
+                 "phi_hg": jnp.asarray(data["phi_hg"], dtype)}
+    return state, header, hints
 
 
 def write_plotfile_ml(geom, states, istep: int, time: float,

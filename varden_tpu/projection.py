@@ -54,10 +54,11 @@ def mk_mac_coeffs(sim: Sim, rho: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
 
 def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
                mac_rhs: Optional[jnp.ndarray] = None,
-               rel_eps: Optional[float] = None):
+               rel_eps: Optional[float] = None, phi0=None):
     """Project MAC velocities onto div(umac) = mac_rhs.
 
-    Returns (umac_projected, div_before, div_after). The default rel_eps
+    Returns (umac_projected, div_before, div_after, phi). phi0 warm-starts
+    the solve (pressure evolves slowly between steps). The default rel_eps
     mirrors the reference override at macproject.f90:92.
     """
     dm, dx, n = sim.dm, sim.dx, sim.n_cell
@@ -74,7 +75,7 @@ def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
     ell_bc = [tuple(sim.ell_bc[sim.press_comp][d]) for d in range(dm)]
     aco = jnp.zeros(n, sim.dtype)
     phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rhs, alpha=0.0,
-                      rel_eps=rel_eps, abs_eps=-1.0)
+                      phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0)
 
     # subtract beta * grad(phi) on every face; the BC-aware ghost pad makes
     # the 2-point difference realize the one-sided boundary gradient that the
@@ -99,7 +100,8 @@ def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
     new_umac = tuple(new_umac)
 
     div_after = basic.mac_div(new_umac, dx) - mac_rhs
-    return new_umac, jnp.max(jnp.abs(div_before)), jnp.max(jnp.abs(div_after))
+    return (new_umac, jnp.max(jnp.abs(div_before)),
+            jnp.max(jnp.abs(div_after)), phi)
 
 
 # ---------------------------------------------------------------------------
@@ -118,10 +120,12 @@ def _inflow_pad(sim: Sim):
 
 def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
               rhohalf: jnp.ndarray, p: jnp.ndarray, gp: jnp.ndarray,
-              dt, rel_eps: Optional[float] = None, abs_eps: float = -1.0):
-    """Approximate nodal projection. Returns (unew, p, gp).
+              dt, rel_eps: Optional[float] = None, abs_eps: float = -1.0,
+              phi0=None):
+    """Approximate nodal projection. Returns (unew, p, gp, phi).
 
-    proj_type semantics follow reference hgproject.f90:374-430 & :581-634.
+    phi0 warm-starts the nodal solve. proj_type semantics follow reference
+    hgproject.f90:374-430 & :581-634.
     """
     dm, dx, n = sim.dm, sim.dx, sim.n_cell
     pmask = sim.pmask
@@ -140,7 +144,7 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
     sigma = 1.0 / rhohalf
     mask = sim.nodal_mask()
     rhs = nodal.divu_rhs(vel, dx, pmask, dm, inflow_pad=_inflow_pad(sim))
-    phi, _ = nodal.solve(n, dx, pmask, sigma, rhs, mask=mask,
+    phi, _ = nodal.solve(n, dx, pmask, sigma, rhs, mask=mask, phi0=phi0,
                          rel_eps=rel_eps, abs_eps=abs_eps)
     gphi = nodal.cell_grad(phi, dx, pmask, dm)
 
@@ -160,7 +164,7 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
     else:  # REGULAR_TIMESTEP: phi held dt*pressure
         gp = gphi / dt
         p = phi / dt
-    return unew, p, gp
+    return unew, p, gp, phi
 
 
 # ---------------------------------------------------------------------------

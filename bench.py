@@ -40,19 +40,25 @@ def main():
     sim = Sim(cfg)
     state0 = problems.initdata(sim)
 
+    from varden_tpu.solvers import nodal
+
     @jax.jit
-    def step(state, dt):
-        new_state, _ = advance.advance_timestep(
-            sim, state, dt, projection.REGULAR_TIMESTEP)
-        return new_state
+    def step(state, dt, hints):
+        new_state, diag = advance.advance_timestep(
+            sim, state, dt, projection.REGULAR_TIMESTEP, hints=hints)
+        return new_state, {"phi_mac": diag["phi_mac"],
+                           "phi_hg": diag["phi_hg"]}
 
     dt = jnp.asarray(5e-4, sim.dtype)
+    hints0 = {"phi_mac": jnp.zeros(sim.n_cell, sim.dtype),
+              "phi_hg": jnp.zeros(nodal.node_shape(sim.n_cell, sim.pmask),
+                                  sim.dtype)}
 
     def run(k):
         t0 = time.perf_counter()
-        s = state0
+        s, h = state0, hints0
         for _ in range(k):
-            s = step(s, dt)
+            s, h = step(s, dt, h)
         _ = float(jnp.sum(s.u))  # host pull forces completion
         return time.perf_counter() - t0
 

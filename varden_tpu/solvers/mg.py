@@ -262,8 +262,15 @@ def _color_masks(n, dtype):
 
 
 def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
-    red, black = _color_masks(level.n, phi.dtype)
     inv_diag = jnp.where(level.diag != 0.0, 1.0 / jnp.where(level.diag == 0.0, 1.0, level.diag), 0.0)
+    from ..ops import pallas_kernels as pk
+    if pk.gsrb_supported(level):
+        # fused red+black Pallas sweep: phi/rhs/beta read once per sweep
+        for _ in range(nsweeps):
+            pad = _pad_ghost(phi, level.ell_bc, bvals, level.dm)
+            phi = pk.gsrb_sweep_3d(pad, rhs, inv_diag, level.beta, level.dx)
+        return phi
+    red, black = _color_masks(level.n, phi.dtype)
     for _ in range(nsweeps):
         for mask in (red, black):
             r = rhs - cc_apply(level, phi, bvals)

@@ -1,0 +1,58 @@
+"""Plotfile / checkpoint round trips, including the native C++ FAB path."""
+import numpy as np
+
+from varden_tpu.config import VardenConfig
+from varden_tpu.state import Sim
+from varden_tpu.io import boxlib, native
+
+
+def test_native_fab_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    data = rng.rand(3, 8, 12, 16)
+    path = str(tmp_path / "Cell_D_00000")
+    hdr = "FAB test header\n"
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    assert native.write_fab(path, hdr, data)
+    with open(path, "rb") as f:
+        line = f.readline()
+        off = f.tell()
+    assert line.decode() == hdr
+    back = native.read_fab(path, off, 3, (8, 12, 16))
+    assert np.array_equal(back, data)
+    # cross-check against the numpy transposition convention
+    with open(path, "rb") as f:
+        f.seek(off)
+        raw = np.frombuffer(f.read(), np.float64).reshape(3, 16, 12, 8)
+    ref = np.stack([raw[c].T for c in range(3)])
+    assert np.array_equal(ref, data)
+
+
+def test_plotfile_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = VardenConfig(dim_in=2, n_cellx=16, n_celly=16)
+    sim = Sim(cfg)
+    rng = np.random.RandomState(1)
+    fields = rng.rand(4, 16, 16)
+    names = ["a", "b", "c", "d"]
+    boxlib.write_plotfile("plt00000", sim, fields, names, 1.5)
+    rnames, rtime, levels = boxlib.read_plotfile("plt00000")
+    assert rnames == names
+    assert abs(rtime - 1.5) < 1e-15
+    assert np.allclose(levels[0], fields)
+
+
+def test_plotfile_multilevel(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = VardenConfig(dim_in=2, n_cellx=16, n_celly=16, max_levs=2)
+    sim = Sim(cfg)
+    rng = np.random.RandomState(2)
+    f0 = rng.rand(2, 16, 16)
+    f1 = rng.rand(2, 16, 8)
+    boxlib.write_plotfile("plt00001", sim, f0, ["x", "y"], 0.25,
+                          level_fields=[f1], level_los=[[8, 4]])
+    names, t, levels = boxlib.read_plotfile("plt00001")
+    assert len(levels) == 2
+    assert np.allclose(levels[0], f0)
+    assert np.allclose(levels[1], f1)

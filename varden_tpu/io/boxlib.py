@@ -40,13 +40,16 @@ def write_multifab(level_dir: str, data: np.ndarray, lo=None):
     os.makedirs(level_dir, exist_ok=True)
 
     fab_path = os.path.join(level_dir, "Cell_D_00000")
-    with open(fab_path, "wb") as f:
-        hdr = f"{_FAB_HEADER}(({_box_str(lo, hi)}) {ncomp})\n"
-        f.write(hdr.encode())
-        # Fortran order, component slowest
-        arr = np.ascontiguousarray(
-            np.stack([np.asarray(data[c], np.float64).T for c in range(ncomp)]))
-        f.write(arr.tobytes())
+    hdr = f"{_FAB_HEADER}(({_box_str(lo, hi)}) {ncomp})\n"
+    from . import native
+    if not native.write_fab(fab_path, hdr, np.asarray(data, np.float64)):
+        with open(fab_path, "wb") as f:
+            f.write(hdr.encode())
+            # Fortran order, component slowest
+            arr = np.ascontiguousarray(
+                np.stack([np.asarray(data[c], np.float64).T
+                          for c in range(ncomp)]))
+            f.write(arr.tobytes())
 
     mins = [float(np.min(data[c])) for c in range(ncomp)]
     maxs = [float(np.max(data[c])) for c in range(ncomp)]
@@ -143,11 +146,18 @@ def read_plotfile(name: str):
         lo, hi, _ = [tuple(int(v) for v in part.strip("()").split(","))
                      for part in box_line.strip("()").split(") (")]
         n = tuple(hi[d] - lo[d] + 1 for d in range(dm))
-        with open(os.path.join(ld, "Cell_D_00000"), "rb") as f:
+        fab = os.path.join(ld, "Cell_D_00000")
+        with open(fab, "rb") as f:
             hdr = f.readline()
-            raw = np.frombuffer(f.read(), np.float64,
-                                count=nc * int(np.prod(n)))
-        arr = raw.reshape((nc,) + tuple(reversed(n)))
-        arr = np.stack([arr[c].T for c in range(nc)])
+            offset = f.tell()
+        from . import native
+        arr = native.read_fab(fab, offset, nc, n)
+        if arr is None:
+            with open(fab, "rb") as f:
+                f.seek(offset)
+                raw = np.frombuffer(f.read(), np.float64,
+                                    count=nc * int(np.prod(n)))
+            arr = raw.reshape((nc,) + tuple(reversed(n)))
+            arr = np.stack([arr[c].T for c in range(nc)])
         levels.append(arr)
     return names, time, levels

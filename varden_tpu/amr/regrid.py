@@ -168,3 +168,64 @@ def initialize_adaptive(sim: Sim) -> Tuple[MLGeom, List[State]]:
         states.append(problems.initdata_on_spec(sim, child, l + 1))
     geom = MLGeom(sim, specs)
     return geom, states
+
+
+def parse_fixed_grids(path: str, dm: int):
+    """Parse a fixed-grids file (the read_a_hgproj_grid format the reference
+    consumes at initialize.f90:113): first line = number of levels; then per
+    fine level a box count followed by box lines ``((lo..) (hi..) (t..))``.
+    Multiple boxes per level are clustered to their bounding box (our levels
+    are single dense rectangles)."""
+    import re
+    box_re = re.compile(r"\(\(([^)]*)\)\s*\(([^)]*)\)")
+    with open(path) as f:
+        tokens = f.read().split("\n")
+    lines = [ln.strip() for ln in tokens if ln.strip()]
+    nlev = int(lines[0].split()[0])
+    idx = 1
+    out = []
+    for _ in range(nlev - 1):
+        # optional box-count line
+        if re.fullmatch(r"\d+", lines[idx]):
+            nbox = int(lines[idx])
+            idx += 1
+        else:
+            nbox = 1
+        lo = [10 ** 9] * dm
+        hi = [-10 ** 9] * dm
+        for _b in range(nbox):
+            m = box_re.search(lines[idx])
+            idx += 1
+            blo = [int(v) for v in m.group(1).split(",")[:dm]]
+            bhi = [int(v) for v in m.group(2).split(",")[:dm]]
+            lo = [min(lo[d], blo[d]) for d in range(dm)]
+            hi = [max(hi[d], bhi[d] + 1) for d in range(dm)]
+        # even alignment for ratio-2 hierarchies
+        lo = [(v // 2) * 2 for v in lo]
+        hi = [-((-v) // 2) * 2 for v in hi]
+        out.append(LevelSpec(tuple(lo), tuple(h - l for l, h in zip(lo, hi))))
+    return out
+
+
+def initialize_fixed(sim: Sim) -> Tuple[MLGeom, List[State]]:
+    """Fixed-grids hierarchy construction (initialize_with_fixed_grids,
+    initialize.f90:93-150)."""
+    from .hierarchy import domain_spec
+    specs = [domain_spec(sim.n_cell, 0)]
+    # note: the file's first level entry describes level 2 of the reference
+    specs += parse_fixed_grids(sim.cfg.fixed_grids, sim.dm)
+    states = [problems.initdata(sim)]
+    for l in range(1, len(specs)):
+        states.append(problems.initdata_on_spec(sim, specs[l], l))
+    geom = MLGeom(sim, specs)
+    return geom, states
+
+
+def write_grids(path: str, geom: MLGeom, istep: int):
+    """Append the current box hierarchy (the grdlog of varden.f90:622-663)."""
+    with open(path, "a") as f:
+        f.write(f"step {istep}: {geom.nlev} levels\n")
+        for l, spec in enumerate(geom.specs):
+            hi = tuple(h - 1 for h in spec.hi)
+            f.write(f"  level {l + 1}: (({','.join(map(str, spec.lo))}) "
+                    f"({','.join(map(str, hi))}))\n")

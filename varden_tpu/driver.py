@@ -67,7 +67,12 @@ class Varden:
         (reference varden.f90:94-235 with nlevs>1)."""
         from .amr import advance_ml, regrid as regrid_mod
         cfg = self.cfg
-        self.geom, states = regrid_mod.initialize_adaptive(self.sim)
+        if cfg.fixed_grids:
+            self.geom, states = regrid_mod.initialize_fixed(self.sim)
+        else:
+            self.geom, states = regrid_mod.initialize_adaptive(self.sim)
+        if cfg.grids_file_name:
+            regrid_mod.write_grids(cfg.grids_file_name, self.geom, 0)
         if cfg.do_initial_projection > 0:
             def iproj(states):
                 rhohalf = [jnp.ones_like(st.s[0]) for st in states]
@@ -101,7 +106,7 @@ class Varden:
         cfg = self.cfg
         self.istep += 1
         if cfg.regrid_int > 0 and (self.istep - 1) % cfg.regrid_int == 0 \
-                and self.istep > 1:
+                and self.istep > 1 and not cfg.fixed_grids:
             new_specs = regrid_mod.compute_specs(self.sim, states,
                                                  self.geom.specs)
             if new_specs != list(self.geom.specs):
@@ -109,6 +114,9 @@ class Varden:
                 states = regrid_mod.build_level_data(self.sim, self.geom,
                                                      states, new_specs)
                 self.geom = MLGeom(self.sim, new_specs)
+                if cfg.grids_file_name:
+                    regrid_mod.write_grids(cfg.grids_file_name, self.geom,
+                                           self.istep)
         if self.istep > 1:
             from .amr import advance_ml
             dtold = self.dt

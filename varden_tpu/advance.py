@@ -81,9 +81,11 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                                   cfg.use_minion)
     else:
         from .ops import godunov3d
+        u_slopes = godunov3d.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
+                                           cfg.slope_order)
         umac = godunov3d.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
                                     adv_bc_vel, ng, n, cfg.slope_order,
-                                    cfg.use_minion)
+                                    cfg.use_minion, slopes=u_slopes)
 
     # ---- MAC projection
     phi_mac0 = None if hints is None else hints.get("phi_mac")
@@ -143,7 +145,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
         uedge, uflux = godunov3d.mkflux_3d(
             u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
             adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
-            cfg.use_minion)
+            cfg.use_minion, slopes=u_slopes)
 
     # backward Euler drops the explicit viscous term (advance_timestep.f90:116-120)
     if cfg.diffusion_type == 2:
@@ -164,14 +166,22 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
 
     # ---- nodal projection
     phi_hg0 = None if hints is None else hints.get("phi_hg")
+    diag = {}
+    if cfg.verbose >= 1:
+        # velocity extrema before/after projection (hgproject.f90:81-109)
+        diag["u_pre_min"] = jnp.min(unew.reshape(dm, -1), axis=1)
+        diag["u_pre_max"] = jnp.max(unew.reshape(dm, -1), axis=1)
     unew, p, gp, phi_hg = projection.hgproject(sim, proj_type, unew, uold,
                                                rhohalf, p, gp, dt,
                                                phi0=phi_hg0)
+    if cfg.verbose >= 1:
+        diag["u_post_min"] = jnp.min(unew.reshape(dm, -1), axis=1)
+        diag["u_post_max"] = jnp.max(unew.reshape(dm, -1), axis=1)
 
-    diag = {"div_before": div_b, "div_after": div_a,
-            "smin": jnp.min(snew[0]), "smax": jnp.max(snew[0]),
-            "umax": jnp.max(jnp.abs(unew)),
-            "phi_mac": phi_mac, "phi_hg": phi_hg}
+    diag.update({"div_before": div_b, "div_after": div_a,
+                 "smin": jnp.min(snew[0]), "smax": jnp.max(snew[0]),
+                 "umax": jnp.max(jnp.abs(unew)),
+                 "phi_mac": phi_mac, "phi_hg": phi_hg})
     return State(u=unew, s=snew, gp=gp, p=p), diag
 
 

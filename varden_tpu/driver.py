@@ -215,8 +215,24 @@ class Varden:
         if cfg.verbose >= 1:
             print(f"... max of [div(umac)-RHS] before/after MAC projection "
                   f"{float(diag['div_before']):15.8e} {float(diag['div_after']):15.8e}")
+            names = ("x", "y", "z")[:self.sim.dm]
+            for d, nm in enumerate(names):
+                print(f"... {nm}-velocity before projection "
+                      f"{float(diag['u_pre_min'][d]):17.10e}  "
+                      f"{float(diag['u_pre_max'][d]):17.10e}")
+            for d, nm in enumerate(names):
+                print(f"... {nm}-velocity  after projection "
+                      f"{float(diag['u_post_min'][d]):17.10e}  "
+                      f"{float(diag['u_post_max'][d]):17.10e}")
             print(f"... new min/max : density {float(diag['smin']):17.10e} "
                   f"{float(diag['smax']):17.10e}")
+            try:  # per-step device memory stats (varden.f90:365 analogue)
+                stats = jax.devices()[0].memory_stats() or {}
+                if stats:
+                    print(f"... device bytes in use: "
+                          f"{stats.get('bytes_in_use', 0)}")
+            except Exception:
+                pass
         print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
               f"DT = {self.dt:14.9f}")
         return state

@@ -33,9 +33,18 @@ def _third(a, b):
     return 3 - a - b
 
 
+def vel_slopes_3d(u, adv_bc_vel, ng, n_cell, slope_order):
+    """Per-axis limited slopes of all velocity components (shared between
+    velpred and the velocity mkflux — the math is identical)."""
+    dm = 3
+    return [jnp.stack([slope(u[c], a, ng, adv_bc_vel[c][a][0],
+                             adv_bc_vel[c][a][1], slope_order, n_cell[a])
+                       for c in range(dm)]) for a in range(dm)]
+
+
 def velpred_3d(u: jnp.ndarray, force: jnp.ndarray, dt, dx: Sequence[float],
                phys_bc, adv_bc_vel, ng: int, n_cell: Sequence[int],
-               slope_order: int, use_minion: bool
+               slope_order: int, use_minion: bool, slopes=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """u, force: (3, Nx, Ny, Nz) ghost-padded. Returns interior MAC faces."""
     dm = 3
@@ -45,9 +54,8 @@ def velpred_3d(u: jnp.ndarray, force: jnp.ndarray, dt, dx: Sequence[float],
                            ng:ng + n_cell[2]]))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
 
-    slopes = [jnp.stack([slope(u[c], a, ng, adv_bc_vel[c][a][0],
-                               adv_bc_vel[c][a][1], slope_order, n_cell[a])
-                         for c in range(dm)]) for a in range(dm)]
+    if slopes is None:
+        slopes = vel_slopes_3d(u, adv_bc_vel, ng, n_cell, slope_order)
 
     def apply_face_bc(l, r, axis, comp_is_normal_zero=True):
         """velpred.f90:1074-1105-style overrides on hat states (all comps)."""
@@ -204,7 +212,7 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
               dx: Sequence[float], phys_bc, adv_bc, ng: int,
               n_cell: Sequence[int], is_vel: bool,
               is_conservative: Sequence[bool], slope_order: int,
-              use_minion: bool):
+              use_minion: bool, slopes=None):
     """Edge states & fluxes on all three face sets.
 
     s/force: (nc, N...) padded; mac_rhs: (N...) padded; mac_pads: cell-aligned
@@ -220,9 +228,10 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
         jnp.max(jnp.abs(mac_pads[a])) for a in range(dm)]))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
 
-    slopes = [jnp.stack([slope(s[c], a, ng, adv_bc[c][a][0],
-                               adv_bc[c][a][1], slope_order, n_cell[a])
-                         for c in range(nc)]) for a in range(dm)]
+    if slopes is None:
+        slopes = [jnp.stack([slope(s[c], a, ng, adv_bc[c][a][0],
+                                   adv_bc[c][a][1], slope_order, n_cell[a])
+                             for c in range(nc)]) for a in range(dm)]
 
     sedges, sfluxes = [], []
     sedge_all = [jnp.zeros_like(s) for _ in range(dm)]

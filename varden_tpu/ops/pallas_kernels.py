@@ -95,14 +95,17 @@ def gsrb_sweep_3d(phi_pad, rhs, inv_diag, beta, dx, *, interpret=False):
 
     # Tile the FIRST axis only; the last two block dims must equal the full
     # array dims (TPU lowering constraint for unaligned windows). VMEM per
-    # block ~ (TX+2) * (n1+2) * (n2+2) * 4B * ~6 operands.
-    TX = n[0]
-    for t in (32, 16, 8, 4, 2):
+    # block ~ (TX+2) * (n1+2) * (n2+2) * 4B * ~7 operands, DOUBLE-BUFFERED
+    # by the pipeline -> keep the estimate under ~4MB of the 16MB budget.
+    TX = None
+    for t in (32, 16, 8, 4, 2, 1):
         if n[0] % t == 0:
             vmem = (t + 2) * (n[1] + 2) * (n[2] + 2) * 4 * 7
-            if vmem < 10 * 1024 * 1024:
+            if vmem < 4 * 1024 * 1024:
                 TX = t
                 break
+    if TX is None:
+        return None  # caller falls back to the unfused path
     grid = (n[0] // TX,)
 
     kern = functools.partial(_gsrb_kernel_3d, dxi2=dxi2)
@@ -143,5 +146,9 @@ def gsrb_supported(level) -> bool:
     if level.dm != 3 or level.alpha != 0.0:
         return False
     if any(s < 8 or s % 2 for s in level.n):
+        return False
+    # tangential plane must fit VMEM with double buffering
+    vmem = 3 * (level.n[1] + 2) * (level.n[2] + 2) * 4 * 7
+    if vmem >= 4 * 1024 * 1024:
         return False
     return True

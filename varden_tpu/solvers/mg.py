@@ -266,10 +266,17 @@ def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
     from ..ops import pallas_kernels as pk
     if pk.gsrb_supported(level):
         # fused red+black Pallas sweep: phi/rhs/beta read once per sweep
+        ok = True
+        out = phi
         for _ in range(nsweeps):
-            pad = _pad_ghost(phi, level.ell_bc, bvals, level.dm)
-            phi = pk.gsrb_sweep_3d(pad, rhs, inv_diag, level.beta, level.dx)
-        return phi
+            pad = _pad_ghost(out, level.ell_bc, bvals, level.dm)
+            res = pk.gsrb_sweep_3d(pad, rhs, inv_diag, level.beta, level.dx)
+            if res is None:
+                ok = False
+                break
+            out = res
+        if ok:
+            return out
     red, black = _color_masks(level.n, phi.dtype)
     for _ in range(nsweeps):
         for mask in (red, black):

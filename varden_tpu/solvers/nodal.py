@@ -30,8 +30,8 @@ import numpy as np
 from .mg import bicgstab
 
 JACOBI_OMEGA = 0.85
-DEFAULT_NU1 = 3
-DEFAULT_NU2 = 3
+DEFAULT_NU1 = 2
+DEFAULT_NU2 = 2
 DEFAULT_MAX_CYCLES = 100  # hg_multigrid.f90:66
 BOTTOM_SIZE = 4
 

@@ -27,8 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mg import bicgstab
-
 JACOBI_OMEGA = 0.85
 DEFAULT_NU1 = 2
 DEFAULT_NU2 = 2

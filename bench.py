@@ -23,11 +23,56 @@ import jax.numpy as jnp
 ASSUMED_FORTRAN_BASELINE = 2.0e6  # cell-updates/sec, single node (see above)
 
 
+def bench_amr(n, dtype):
+    """AMR variant (BASELINE config 3/5 family): 2-level 3-D bubble, the
+    composite step timed with differencing. Composite cells = coarse
+    uncovered + fine."""
+    import numpy as np
+    from varden_tpu.config import VardenConfig
+    from varden_tpu.driver import Varden
+
+    cfg = VardenConfig(
+        dim_in=3, prob_type=1, n_cellx=n, n_celly=n, n_cellz=n,
+        max_levs=2, regrid_int=-1, bcx_lo=15, bcx_hi=15, bcy_lo=15,
+        bcy_hi=15, bcz_lo=15, bcz_hi=15, grav=-9.8, visc_coef=1e-3,
+        cflfac=0.5, init_shrink=0.5, max_step=0, init_iter=0, dtype=dtype)
+    v = Varden(cfg)
+    states = v.initialize_ml()
+    step = v._ml_step_fn(4)  # REGULAR_TIMESTEP
+    import jax.numpy as jnp
+    dt = 5e-4
+
+    def run(k):
+        t0 = time.perf_counter()
+        s = states
+        for _ in range(k):
+            s, _diag = step(s, dt)
+        _ = float(jnp.sum(s[0].u))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = min(run(1) for _ in range(2))
+    t2 = min(run(5) for _ in range(2))
+    per_step = (t2 - t1) / 4
+    fine_cells = int(np.prod(v.geom.specs[1].n))
+    cells = n ** 3 + fine_cells - fine_cells // 8  # uncovered coarse + fine
+    cups = cells / per_step
+    print(json.dumps({
+        "metric": f"cell-updates/sec/chip, 3D {n}^3 + 1 AMR level bubble, "
+                  f"composite timestep ({dtype}, differenced timing)",
+        "value": round(cups, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(cups / ASSUMED_FORTRAN_BASELINE, 3),
+    }))
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "128"))
     k1 = int(os.environ.get("BENCH_K1", "2"))
     k2 = int(os.environ.get("BENCH_K2", "10"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    if os.environ.get("BENCH_MODE", "") == "amr":
+        return bench_amr(int(os.environ.get("BENCH_N", "64")), dtype)
 
     from varden_tpu.config import VardenConfig
     from varden_tpu.state import Sim

@@ -137,18 +137,73 @@ def gsrb_sweep_3d(phi_pad, rhs, inv_diag, beta, dx, *, interpret=False):
     return out
 
 
+def _gsrb_kernel_2d(phi_ref, rhs_ref, inv_diag_ref, bx_ref, by_ref,
+                    out_ref, *, dxi2):
+    """Single-block 2-D fused red+black sweep (whole grid in VMEM)."""
+    phi = phi_ref[...]
+    rhs = rhs_ref[...]
+    inv_diag = inv_diag_ref[...]
+    bx = bx_ref[...]
+    by = by_ref[...]
+    tx, ty = rhs.shape
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tx, ty), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tx, ty), 1)
+    red = ((ix + iy) % 2 == 0).astype(phi.dtype)
+
+    def lphi(p):
+        c = p[1:-1, 1:-1]
+        xm = bx[:-1, :] * (c - p[0:-2, 1:-1])
+        xp = bx[1:, :] * (p[2:, 1:-1] - c)
+        ym = by[:, :-1] * (c - p[1:-1, 0:-2])
+        yp = by[:, 1:] * (p[1:-1, 2:] - c)
+        return -(dxi2[0] * (xp - xm) + dxi2[1] * (yp - ym))
+
+    r = rhs - lphi(phi)
+    interior = phi[1:-1, 1:-1]
+    new_int = interior + red * r * inv_diag
+
+    px, py = phi.shape
+    jx = jax.lax.broadcasted_iota(jnp.int32, (px, py), 0)
+    jy = jax.lax.broadcasted_iota(jnp.int32, (px, py), 1)
+    ring = ((jx == 0) | (jx == px - 1) | (jy == 0)
+            | (jy == py - 1)).astype(phi.dtype)
+    p2 = jnp.pad(new_int, ((1, 1), (1, 1))) + ring * phi
+
+    r = rhs - lphi(p2)
+    out_ref[...] = new_int + (1.0 - red) * r * inv_diag
+
+
+def gsrb_sweep_2d(phi_pad, rhs, inv_diag, beta, dx, *, interpret=False):
+    """One fused 2-D red-black sweep; whole arrays as single VMEM blocks."""
+    n = rhs.shape
+    dxi2 = tuple(1.0 / (h * h) for h in dx)
+    kern = functools.partial(_gsrb_kernel_2d, dxi2=dxi2)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(n, rhs.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phi_pad, rhs, inv_diag, beta[0], beta[1])
+
+
 def gsrb_supported(level) -> bool:
     """Pallas path available for this MG level?"""
     if not HAVE_PALLAS:
         return False
     if jax.default_backend() != "tpu":
         return False
-    if level.dm != 3 or level.alpha != 0.0:
+    if level.alpha != 0.0:
         return False
     if any(s < 8 or s % 2 for s in level.n):
         return False
-    # tangential plane must fit VMEM with double buffering
-    vmem = 3 * (level.n[1] + 2) * (level.n[2] + 2) * 4 * 7
-    if vmem >= 4 * 1024 * 1024:
-        return False
-    return True
+    if level.dm == 3:
+        # tangential plane must fit VMEM with double buffering
+        vmem = 3 * (level.n[1] + 2) * (level.n[2] + 2) * 4 * 7
+        return vmem < 4 * 1024 * 1024
+    if level.dm == 2:
+        # whole grid resident in VMEM (single block)
+        vmem = (level.n[0] + 2) * (level.n[1] + 2) * 4 * 7
+        return vmem < 6 * 1024 * 1024
+    return False

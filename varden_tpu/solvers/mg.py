@@ -266,11 +266,12 @@ def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
     from ..ops import pallas_kernels as pk
     if pk.gsrb_supported(level):
         # fused red+black Pallas sweep: phi/rhs/beta read once per sweep
+        sweep = pk.gsrb_sweep_3d if level.dm == 3 else pk.gsrb_sweep_2d
         ok = True
         out = phi
         for _ in range(nsweeps):
             pad = _pad_ghost(out, level.ell_bc, bvals, level.dm)
-            res = pk.gsrb_sweep_3d(pad, rhs, inv_diag, level.beta, level.dx)
+            res = sweep(pad, rhs, inv_diag, level.beta, level.dx)
             if res is None:
                 ok = False
                 break

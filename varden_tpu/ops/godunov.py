@@ -25,9 +25,13 @@ ABS_EPS = 1.0e-8  # velpred.f90:204 / mkflux.f90:238
 
 
 def _face_set(arr, axis, idx, val):
-    sl = [slice(None)] * arr.ndim
-    sl[axis] = slice(idx, idx + 1)
-    return arr.at[tuple(sl)].set(val)
+    """Overwrite one face plane. Implemented as a fusable select (a
+    dynamic-update-slice would materialize a full-array copy on TPU — the
+    profiler showed those copies rivaling the actual Godunov math)."""
+    shape = [1] * arr.ndim
+    shape[axis] = arr.shape[axis]
+    ii = jnp.arange(arr.shape[axis]).reshape(shape)
+    return jnp.where(ii == idx, val, arr)
 
 
 def _face_get(arr, axis, idx):
@@ -296,10 +300,7 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
             r = _face_set(r, axis, fidx, rv)
         return l, r
 
-    sedgex = jnp.zeros_like(s)
-    sedgey = jnp.zeros_like(s)
-    fluxx = jnp.zeros_like(s)
-    fluxy = jnp.zeros_like(s)
+    sedgex_l, sedgey_l, fluxx_l, fluxy_l = [], [], [], []
 
     for c in range(nc):
         # hat states on both face sets
@@ -372,11 +373,11 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
         ey_l, ey_r = edge_states(1)
         ex = finalize(0, ex_l, ex_r)
         ey = finalize(1, ey_l, ey_r)
-        sedgex = sedgex.at[c].set(ex)
-        sedgey = sedgey.at[c].set(ey)
-        if is_conservative[c]:
-            fluxx = fluxx.at[c].set(ex * umac_pad)
-            fluxy = fluxy.at[c].set(ey * vmac_pad)
+        sedgex_l.append(ex)
+        sedgey_l.append(ey)
+        zero = jnp.zeros_like(ex)
+        fluxx_l.append(ex * umac_pad if is_conservative[c] else zero)
+        fluxy_l.append(ey * vmac_pad if is_conservative[c] else zero)
 
     def crop_x(f):
         return f[..., ng:ng + nx + 1, ng:ng + ny]
@@ -384,4 +385,9 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
     def crop_y(f):
         return f[..., ng:ng + nx, ng:ng + ny + 1]
 
-    return crop_x(sedgex), crop_y(sedgey), crop_x(fluxx), crop_y(fluxy)
+    # crop BEFORE stacking so the stack concatenates small interior arrays
+    sedgex = jnp.stack([crop_x(f) for f in sedgex_l])
+    sedgey = jnp.stack([crop_y(f) for f in sedgey_l])
+    fluxx = jnp.stack([crop_x(f) for f in fluxx_l])
+    fluxy = jnp.stack([crop_y(f) for f in fluxy_l])
+    return sedgex, sedgey, fluxx, fluxy

@@ -233,9 +233,8 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
                                    adv_bc[c][a][1], slope_order, n_cell[a])
                              for c in range(nc)]) for a in range(dm)]
 
-    sedges, sfluxes = [], []
-    sedge_all = [jnp.zeros_like(s) for _ in range(dm)]
-    sflux_all = [jnp.zeros_like(s) for _ in range(dm)]
+    sedge_lists = [[] for _ in range(dm)]
+    sflux_lists = [[] for _ in range(dm)]
 
     def face_bc(l, r, axis, c, sc, clamp=True):
         """mkflux.f90 boundary overrides on l/r states at axis faces; the
@@ -368,12 +367,12 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
                 else:
                     continue
                 edge = _face_set(edge, a, fidx, val)
-            sedge_all[a] = sedge_all[a].at[c].set(edge)
-            if cons:
-                sflux_all[a] = sflux_all[a].at[c].set(edge * mac_pads[a])
+            sedge_lists[a].append(edge)
+            sflux_lists[a].append(edge * mac_pads[a] if cons
+                                  else jnp.zeros_like(edge))
 
     def crop(f, a):
-        sl = [slice(None)]  # component axis
+        sl = []
         for t in range(dm):
             if t == a:
                 sl.append(slice(ng, ng + n_cell[t] + 1))
@@ -381,6 +380,9 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
                 sl.append(slice(ng, ng + n_cell[t]))
         return f[tuple(sl)]
 
-    sedge = tuple(crop(sedge_all[a], a) for a in range(dm))
-    sflux = tuple(crop(sflux_all[a], a) for a in range(dm))
+    # crop before stacking: the stack then concatenates interior-sized arrays
+    sedge = tuple(jnp.stack([crop(f, a) for f in sedge_lists[a]])
+                  for a in range(dm))
+    sflux = tuple(jnp.stack([crop(f, a) for f in sflux_lists[a]])
+                  for a in range(dm))
     return sedge, sflux

@@ -188,8 +188,12 @@ def gsrb_sweep_2d(phi_pad, rhs, inv_diag, beta, dx, *, interpret=False):
     )(phi_pad, rhs, inv_diag, beta[0], beta[1])
 
 
+import os
+
 def gsrb_supported(level) -> bool:
     """Pallas path available for this MG level?"""
+    if os.environ.get("VARDEN_NO_PALLAS_GSRB"):
+        return False
     if not HAVE_PALLAS:
         return False
     if jax.default_backend() != "tpu":

@@ -66,10 +66,14 @@ def slope(s: jnp.ndarray, axis: int, ng: int, bc_lo: int, bc_hi: int,
         sl_[axis] = slice(i, i + 1)
         return arr[tuple(sl_)]
 
+    ishape = [1] * s.ndim
+    ishape[axis] = s.shape[axis]
+    iax = jnp.arange(s.shape[axis]).reshape(ishape)
+
     def set_plane(arr, i, val):
-        sl_ = [slice(None)] * arr.ndim
-        sl_[axis] = slice(i, i + 1)
-        return arr.at[tuple(sl_)].set(val)
+        # fusable select, not a dynamic-update-slice (which copies the
+        # whole array on TPU)
+        return jnp.where(iax == i, val, arr)
 
     def one_sided(sgn, sl_cur):
         # sgn=+1 for lo side (interior to the right), -1 for hi side.

@@ -206,8 +206,7 @@ def gsrb_supported(level) -> bool:
         # tangential plane must fit VMEM with double buffering
         vmem = 3 * (level.n[1] + 2) * (level.n[2] + 2) * 4 * 7
         return vmem < 4 * 1024 * 1024
-    if level.dm == 2:
-        # whole grid resident in VMEM (single block)
-        vmem = (level.n[0] + 2) * (level.n[1] + 2) * 4 * 7
-        return vmem < 6 * 1024 * 1024
+    # NOTE: the 2-D kernel compiles in interpret mode but hits a Mosaic
+    # "offset mismatch on non-concat dimension" on real TPU lowering of the
+    # in-kernel pad; keep it off the production path until fixed.
     return False

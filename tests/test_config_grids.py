@@ -1,0 +1,87 @@
+"""Unit tests: namelist parsing details, BC table semantics, fixed-grids
+parser, grids log."""
+import numpy as np
+
+from varden_tpu import bc as bc_mod
+from varden_tpu.config import VardenConfig, load_config
+
+
+def test_namelist_fortran_literals():
+    text = """
+&PROBIN
+ dim_in = 2
+ grav = -9.8d0
+ init_shrink = 0.1
+ max_step = 10
+ use_minion = .true.
+ plot_base_name = "plot"
+ u_bc(1,1) = 1.5d0
+/
+"""
+    cfg = load_config(text, is_text=True)
+    assert cfg.grav == -9.8
+    assert cfg.init_shrink == 0.1
+    assert cfg.max_step == 10
+    assert cfg.use_minion is True
+    assert cfg.plot_base_name == "plot"
+    assert cfg.u_bc[0][0] == 1.5
+
+
+def test_adv_bc_table_semantics():
+    """define_bc_tower.f90:158-252 mappings."""
+    cfg = VardenConfig(dim_in=2, bcx_lo=14, bcx_hi=15, bcy_lo=11, bcy_hi=12)
+    t = bc_mod.adv_bc_table(cfg)
+    # SLIP_WALL x-lo: normal vel EXT_DIR, tangential HOEXTRAP
+    assert t[0][0][0] == bc_mod.EXT_DIR
+    assert t[1][0][0] == bc_mod.HOEXTRAP
+    # NO_SLIP x-hi: all velocity EXT_DIR, scalars HOEXTRAP
+    assert t[0][0][1] == bc_mod.EXT_DIR and t[1][0][1] == bc_mod.EXT_DIR
+    assert t[2][0][1] == bc_mod.HOEXTRAP
+    # INLET y-lo: vel + scalars EXT_DIR, pressure FOEXTRAP
+    assert t[0][1][0] == bc_mod.EXT_DIR and t[2][1][0] == bc_mod.EXT_DIR
+    press = cfg.dm + cfg.nscal
+    assert t[press][1][0] == bc_mod.FOEXTRAP
+    # OUTLET y-hi: vel/scalars FOEXTRAP, pressure EXT_DIR
+    assert t[0][1][1] == bc_mod.FOEXTRAP
+    assert t[press][1][1] == bc_mod.EXT_DIR
+
+
+def test_ell_bc_table_semantics():
+    """define_bc_tower.f90:254-340 mappings."""
+    cfg = VardenConfig(dim_in=2, bcx_lo=14, bcx_hi=15, bcy_lo=11, bcy_hi=12)
+    t = bc_mod.ell_bc_table(cfg)
+    press = cfg.dm + cfg.nscal
+    # SLIP_WALL: normal vel DIR, tangential NEU, pressure NEU
+    assert t[0][0][0] == bc_mod.BC_DIR and t[1][0][0] == bc_mod.BC_NEU
+    assert t[press][0][0] == bc_mod.BC_NEU
+    # OUTLET: pressure DIR
+    assert t[press][1][1] == bc_mod.BC_DIR
+
+
+def test_fixed_grids_parser(tmp_path):
+    from varden_tpu.amr.regrid import parse_fixed_grids
+    p = tmp_path / "grids"
+    p.write_text("""2
+2
+((8,8) (23,23) (0,0))
+((24,16) (39,31) (0,0))
+""")
+    specs = parse_fixed_grids(str(p), 2)
+    assert len(specs) == 1
+    # bounding box of the two boxes, even-aligned
+    assert specs[0].lo == (8, 8)
+    assert specs[0].hi == (40, 32)
+
+
+def test_write_grids(tmp_path):
+    from varden_tpu.amr.regrid import write_grids
+    from varden_tpu.amr.fill import MLGeom
+    from varden_tpu.amr.hierarchy import LevelSpec
+    from varden_tpu.state import Sim
+    sim = Sim(VardenConfig(dim_in=2, n_cellx=32, n_celly=32, max_levs=2))
+    geom = MLGeom(sim, [LevelSpec((0, 0), (32, 32)),
+                        LevelSpec((8, 8), (32, 32))])
+    f = tmp_path / "grdlog"
+    write_grids(str(f), geom, 3)
+    txt = f.read_text()
+    assert "step 3" in txt and "level 2" in txt and "(8,8)" in txt

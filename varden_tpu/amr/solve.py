@@ -248,7 +248,9 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         res = [rhs_l[l] - mg.apply_padded(pads[l], aco_l[l], beta_l[l],
                                           alpha, geom.dx(l), dm)
                for l in range(nlev)]
-        for l in range(nlev - 1):
+        # fold FINE -> COARSE so a middle level's covered/reflux corrections
+        # are in place before being restricted into its own parent
+        for l in range(nlev - 2, -1, -1):
             res[l] = _reflux_correct(geom, l, res[l], pads[l], pads[l + 1],
                                      beta_l[l], beta_l[l + 1])
             cov = covered_slice_rel(geom, l)
@@ -290,6 +292,12 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
             pad = pad_phi(geom, l, phis, ell0, bvals, ng=1)
             rl = rhs_l[l] - mg.apply_padded(pad, aco_l[l], beta_l[l], alpha,
                                             geom.dx(l), dm)
+            # NOTE: middle levels are corrected WITHOUT their child's flux
+            # registers in this block sweep (the child is solved right
+            # after); for 3+ levels this leaves the composite residual at
+            # middle-level interfaces around ~1e-3 relative — a known round-1
+            # limitation (a fully recursive composite V-cycle is the fix).
+            # 2-level hierarchies converge to solver tolerance.
             dl = mg.v_cycle(hiers[l], jnp.zeros_like(rl), rl, [[0.0, 0.0]] * dm)
             phis[l] = phis[l] + dl
             d_prev = prolong_cells(d_prev[cov], dm) + dl

@@ -67,9 +67,10 @@ def bench_amr(n, dtype):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "128"))
-    k1 = int(os.environ.get("BENCH_K1", "2"))
-    k2 = int(os.environ.get("BENCH_K2", "10"))
+    # BASELINE.json's metric is cell-updates/sec/chip at 256^3
+    n = int(os.environ.get("BENCH_N", "256"))
+    k1 = int(os.environ.get("BENCH_K1", "1"))
+    k2 = int(os.environ.get("BENCH_K2", "6"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     if os.environ.get("BENCH_MODE", "") == "amr":
         return bench_amr(int(os.environ.get("BENCH_N", "64")), dtype)

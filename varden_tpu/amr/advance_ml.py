@@ -15,10 +15,10 @@ import jax.numpy as jnp
 from .. import projection
 from ..ops import basic, godunov, godunov3d
 from ..solvers import mg, nodal
-from ..state import Sim, State
+from ..state import State
 from . import solve as amr_solve
 from .fill import MLGeom, pad_ml, pad_ml_multi
-from .hierarchy import prolong_cells, restrict_cells, restrict_faces
+from .hierarchy import restrict_cells, restrict_faces
 from .solve import covered_slice_rel, pad_phi
 
 
@@ -53,7 +53,6 @@ def grow_mac_ml(geom: MLGeom, umac_l, lev: int, ng: int):
     SURVEY.md §2b) — linear in the normal direction, piecewise-constant
     tangentially (ghost faces only feed transverse terms near the interface).
     """
-    from ..bc import grow_mac
     from ..advance import embed_faces
     sim = geom.sim
     dm = geom.dm

@@ -13,7 +13,7 @@ bounding box, described by a static LevelSpec. ref_ratio = 2 throughout
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 

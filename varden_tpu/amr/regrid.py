@@ -15,8 +15,7 @@ import jax.numpy as jnp
 
 from .. import problems
 from ..state import Sim, State
-from ..solvers import nodal
-from .fill import MLGeom, pad_ml_multi
+from .fill import MLGeom
 from .hierarchy import LevelSpec, prolong_cells, prolong_nodes
 
 QUANT = 8          # box edges quantized to multiples of this (fine index)

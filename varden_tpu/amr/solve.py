@@ -16,16 +16,13 @@ interface; a handful of outer sweeps reaches the solver tolerance.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 
-from ..bc import BC_DIR, BC_NEU, BC_PER
+from ..bc import BC_DIR, BC_NEU
 from ..solvers import mg, nodal
 from .fill import MLGeom
-from .hierarchy import (covered_slice, prolong_cells, prolong_nodes,
-                        restrict_cells, restrict_faces)
+from .hierarchy import prolong_cells, prolong_nodes, restrict_cells
 
 DEFAULT_OUTER = 20
 

@@ -9,7 +9,6 @@ and host-side I/O.
 from __future__ import annotations
 
 import functools
-import time as _time
 from typing import Optional
 
 import jax
@@ -165,7 +164,6 @@ class Varden:
         return states
 
     def _zero_hints(self):
-        from .solvers import nodal
         sim = self.sim
         return {"phi_mac": jnp.zeros(sim.n_cell, sim.dtype),
                 "phi_hg": jnp.zeros(sim.node_shape(), sim.dtype)}

@@ -8,7 +8,7 @@ All functions take interior-only arrays; spatial axes are the trailing ones.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 
 from ..config import INLET, NO_SLIP_WALL, OUTLET, PERIODIC, SLIP_WALL, SYMMETRY
-from ..bc import EXT_DIR as ADV_EXT_DIR
 from .slopes import slope
 from .stencil import shift
 

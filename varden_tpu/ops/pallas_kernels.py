@@ -15,7 +15,6 @@ Falls back to the jnp path off-TPU or for unsupported shapes.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

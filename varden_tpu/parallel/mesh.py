@@ -11,7 +11,7 @@ semantics.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -57,7 +57,6 @@ def shard_state(state: State, sim: Sim, mesh: Mesh) -> State:
 
 def sharded_step(sim: Sim, mesh: Mesh, proj_type=None):
     """A jitted advance_timestep with sharded in/out states."""
-    import functools
     from .. import advance, projection
     proj_type = projection.REGULAR_TIMESTEP if proj_type is None else proj_type
     sh = state_shardings(sim, mesh)

@@ -60,9 +60,8 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
     """Per-phase wall times of one timestep, each phase separately jitted and
     blocked — the reference's per-step timing summary
     (advance_timestep.f90:150-166). Returns {phase: seconds}."""
-    import functools
     import jax.numpy as jnp
-    from . import advance, projection
+    from . import projection
     from .ops import basic, godunov, godunov3d
 
     cfg = sim.cfg

@@ -9,14 +9,14 @@ TPU-native re-derivations of:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from .config import INLET, NO_SLIP_WALL, OUTLET, SLIP_WALL, SYMMETRY
+from .config import INLET
 from .ops import basic
 from .solvers import mg, nodal
-from .state import Sim, State
+from .state import Sim
 
 # Projection types (reference src/proj_parameters.f90:5-8)
 INITIAL_PROJECTION = 1

@@ -11,9 +11,18 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 
 from . import projection
-from .ops import basic, godunov
+from .ops import basic, godunov, godunov3d, godunov_ref
 from .bc import grow_mac
 from .state import Sim, State
+
+
+def godunov_mods(cfg):
+    """The Godunov implementation pair: windowed fast path, or the full-array
+    debug oracle when use_godunov_debug is set (reference velpred.f90:61-87,
+    mkflux.f90:87-121 select *_debug_* the same way)."""
+    if cfg.use_godunov_debug:
+        return godunov_ref, godunov_ref
+    return godunov, godunov3d
 
 
 def embed_faces(sim: Sim, umac, ng: int):
@@ -73,19 +82,23 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     # ---- premac: cell force then Godunov MAC prediction
     vel_force = basic.mkvelforce(cfg.ext_force, sold, gp, lapu,
                                  cfg.visc_coef, 1.0, cfg.boussinesq)
+    god2, god3 = godunov_mods(cfg)
+    import jax
     u_pad = sim.fill_vel(uold)
     vf_pad = sim.fill_extrap(vel_force, ng)
+    scope = jax.named_scope
     if dm == 2:
-        umac = godunov.velpred_2d(u_pad, vf_pad, dt, dx, sim.phys_bc,
-                                  adv_bc_vel, ng, n, cfg.slope_order,
-                                  cfg.use_minion)
+      with scope("velpred"):
+        umac = god2.velpred_2d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                               adv_bc_vel, ng, n, cfg.slope_order,
+                               cfg.use_minion)
     else:
-        from .ops import godunov3d
-        u_slopes = godunov3d.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
-                                           cfg.slope_order)
-        umac = godunov3d.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
-                                    adv_bc_vel, ng, n, cfg.slope_order,
-                                    cfg.use_minion, slopes=u_slopes)
+      with scope("velpred"):
+        u_slopes = god3.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
+                                      cfg.slope_order)
+        umac = god3.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                               adv_bc_vel, ng, n, cfg.slope_order,
+                               cfg.use_minion, slopes=u_slopes)
 
     # ---- MAC projection
     phi_mac0 = None if hints is None else hints.get("phi_mac")
@@ -106,14 +119,15 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     mrhs_pad = sim.fill_extrap(mac_rhs, ng)
     mac_pads = embed_faces(sim, umac, ng)
     if dm == 2:
-        sedgex, sedgey, fluxx, fluxy = godunov.mkflux_2d(
+      with scope("mkflux_s"):
+        sedgex, sedgey, fluxx, fluxy = god2.mkflux_2d(
             s_pad, mac_pads[0], mac_pads[1], sf_pad, mrhs_pad, dt, dx,
             sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
             cfg.slope_order, cfg.use_minion)
         sedge, sflux = (sedgex, sedgey), (fluxx, fluxy)
     else:
-        from .ops import godunov3d
-        sedge, sflux = godunov3d.mkflux_3d(
+      with scope("mkflux_s"):
+        sedge, sflux = god3.mkflux_3d(
             s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
             adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
             cfg.use_minion)
@@ -135,14 +149,15 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     vel_is_cons = [False] * dm
     uf_pad = sim.fill_extrap(vel_force, ng)  # t^n force (visc_fac=1)
     if dm == 2:
-        uex, uey, ufx, ufy = godunov.mkflux_2d(
+      with scope("mkflux_u"):
+        uex, uey, ufx, ufy = god2.mkflux_2d(
             u_pad, mac_pads[0], mac_pads[1], uf_pad, mrhs_pad, dt, dx,
             sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
             cfg.slope_order, cfg.use_minion)
         uedge, uflux = (uex, uey), (ufx, ufy)
     else:
-        from .ops import godunov3d
-        uedge, uflux = godunov3d.mkflux_3d(
+      with scope("mkflux_u"):
+        uedge, uflux = god3.mkflux_3d(
             u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
             adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
             cfg.use_minion, slopes=u_slopes)

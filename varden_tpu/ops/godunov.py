@@ -2,13 +2,15 @@
 
 TPU-native re-derivation of the reference's velpred (src/velpred.f90:125-524)
 and mkflux (src/mkflux.f90:152-691). The reference streams rolling 2-row
-windows through memory — a CPU cache trick; here every stage is a full-array
-vectorized op (the same math as the reference's *_debug_* oracles), which XLA
-tiles onto the VPU.
+windows through memory — a CPU cache trick; here every stage is a vectorized
+op over *windowed* arrays (ops/window.Win): shifts are zero-copy coordinate
+relabelings, combinations are static-slice intersections that XLA fuses.
+The round-1 full-array jnp.roll formulation is preserved in godunov_ref.py
+as the debug oracle (the reference's *_debug_* role).
 
 Face-array convention: an x-face value for the face between cells i-1 and i is
-stored at padded cell index i ("cell-aligned" face arrays, same shape as the
-padded cell arrays). The physical face range along x is [ng, ng+nx].
+stored at padded cell coordinate i ("cell-aligned" face windows; the physical
+face range along x is [ng, ng+nx]).
 """
 from __future__ import annotations
 
@@ -18,25 +20,9 @@ import jax.numpy as jnp
 
 from ..config import INLET, NO_SLIP_WALL, OUTLET, PERIODIC, SLIP_WALL, SYMMETRY
 from .slopes import slope
-from .stencil import shift
+from .window import Win, full, wmap
 
 ABS_EPS = 1.0e-8  # velpred.f90:204 / mkflux.f90:238
-
-
-def _face_set(arr, axis, idx, val):
-    """Overwrite one face plane. Implemented as a fusable select (a
-    dynamic-update-slice would materialize a full-array copy on TPU — the
-    profiler showed those copies rivaling the actual Godunov math)."""
-    shape = [1] * arr.ndim
-    shape[axis] = arr.shape[axis]
-    ii = jnp.arange(arr.shape[axis]).reshape(shape)
-    return jnp.where(ii == idx, val, arr)
-
-
-def _face_get(arr, axis, idx):
-    sl = [slice(None)] * arr.ndim
-    sl[axis] = slice(idx, idx + 1)
-    return arr[tuple(sl)]
 
 
 def _riemann_normal(l, r, eps):
@@ -55,6 +41,29 @@ def _riemann_transverse(l, r, adv, eps):
     return jnp.where(jnp.abs(adv) > eps, sel, 0.5 * (l + r))
 
 
+def _riemann_normal_w(l: Win, r: Win, eps) -> Win:
+    return wmap(lambda lv, rv: _riemann_normal(lv, rv, eps), l, r)
+
+
+def _riemann_transverse_w(l: Win, r: Win, adv: Win, eps) -> Win:
+    return wmap(lambda lv, rv, av: _riemann_transverse(lv, rv, av, eps),
+                l, r, adv)
+
+
+def mac_wins(mac_pads, ng, n_cell):
+    """Wrap padded cell-aligned MAC arrays as Wins restricted to their valid
+    region: faces [ng, ng+n+1) along the own axis, cells [ng-1, ng+n+1)
+    tangentially (one valid tangential ghost — what embed_faces/grow_mac_ml
+    provide; anything outside is zero fill and must never be read)."""
+    dm = len(mac_pads)
+    out = []
+    for d in range(dm):
+        lo = [ng if t == d else ng - 1 for t in range(dm)]
+        hi = [ng + n_cell[t] + 1 for t in range(dm)]
+        out.append(full(mac_pads[d], dm).to(lo, hi))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # velpred: MAC velocity prediction
 # ---------------------------------------------------------------------------
@@ -68,6 +77,7 @@ def velpred_2d(u: jnp.ndarray, force: jnp.ndarray, dt: float,
     u, force: (2, Nx, Ny) ghost-padded. Returns interior (nx+1, ny) umac and
     (nx, ny+1) vmac.
     """
+    dm = 2
     nx, ny = n_cell
     dt2, dt4 = 0.5 * dt, 0.25 * dt
     hx, hy = dx
@@ -75,22 +85,24 @@ def velpred_2d(u: jnp.ndarray, force: jnp.ndarray, dt: float,
     umax = jnp.max(jnp.abs(u[:, ng:ng + nx, ng:ng + ny]))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
 
-    slx = jnp.stack([slope(u[c], 0, ng, adv_bc_vel[c][0][0], adv_bc_vel[c][0][1],
-                           slope_order, nx) for c in range(2)])
-    sly = jnp.stack([slope(u[c], 1, ng, adv_bc_vel[c][1][0], adv_bc_vel[c][1][1],
-                           slope_order, ny) for c in range(2)])
+    uw = [full(u[c], dm) for c in range(dm)]
+    fw = [full(force[c], dm) for c in range(dm)]
+    slopes = [[slope(u[c], a, ng, adv_bc_vel[c][a][0], adv_bc_vel[c][a][1],
+                     slope_order, n_cell[a], dm=dm) for c in range(dm)]
+              for a in range(dm)]
 
-    def normal_states(axis, sl_ax, h):
+    def normal_states(axis, h):
         """1-D extrapolation of both velocity components to ``axis`` faces
         (velpred.f90:258-273)."""
-        un = u[axis]  # normal velocity component
-        lo_fac = 0.5 - dt2 * jnp.maximum(0.0, un) / h
-        hi_fac = 0.5 + dt2 * jnp.minimum(0.0, un) / h
-        l = [shift(u[c] + lo_fac * sl_ax[c], axis, -1) for c in range(2)]
-        r = [u[c] - hi_fac * sl_ax[c] for c in range(2)]
+        un = uw[axis]  # normal velocity component
+        lo_fac = wmap(lambda x: 0.5 - dt2 * jnp.maximum(0.0, x) / h, un)
+        hi_fac = wmap(lambda x: 0.5 + dt2 * jnp.minimum(0.0, x) / h, un)
+        l = [(uw[c] + lo_fac * slopes[axis][c]).shift(axis, -1)
+             for c in range(dm)]
+        r = [uw[c] - hi_fac * slopes[axis][c] for c in range(dm)]
         if use_minion:
-            l = [l[c] + dt2 * shift(force[c], axis, -1) for c in range(2)]
-            r = [r[c] + dt2 * force[c] for c in range(2)]
+            l = [l[c] + dt2 * fw[c].shift(axis, -1) for c in range(dm)]
+            r = [r[c] + dt2 * fw[c] for c in range(dm)]
         return l, r
 
     def apply_face_bc(l, r, axis, n_ax):
@@ -102,51 +114,51 @@ def velpred_2d(u: jnp.ndarray, force: jnp.ndarray, dt: float,
             if pb in (PERIODIC,):
                 continue
             gidx = fidx - 1 if side == 0 else fidx  # ghost cell just outside
-            ug = [_face_get(u[c], axis, gidx) for c in range(2)]
-            ln = _face_get(l[nrm], axis, fidx)
-            rn = _face_get(r[nrm], axis, fidx)
-            lt = _face_get(l[tng], axis, fidx)
-            rt = _face_get(r[tng], axis, fidx)
+            ug = [uw[c].plane(axis, gidx, as_coord=fidx) for c in range(dm)]
+            ln = l[nrm].plane(axis, fidx)
+            rn = r[nrm].plane(axis, fidx)
+            lt = l[tng].plane(axis, fidx)
+            rt = r[tng].plane(axis, fidx)
             if pb == INLET:
                 ln = rn = ug[nrm]
                 lt = rt = ug[tng]
             elif pb == SLIP_WALL:
-                ln = rn = jnp.zeros_like(ln)
+                ln = rn = ln.zeros_like()
                 if side == 0:
                     lt = rt
                 else:
                     rt = lt
             elif pb == NO_SLIP_WALL:
-                ln = rn = jnp.zeros_like(ln)
-                lt = rt = jnp.zeros_like(lt)
+                ln = rn = ln.zeros_like()
+                lt = rt = lt.zeros_like()
             elif pb == OUTLET:
                 if side == 0:
-                    rn = jnp.minimum(rn, 0.0)
+                    rn = wmap(lambda x: jnp.minimum(x, 0.0), rn)
                     ln = rn
                     lt = rt
                 else:
-                    ln = jnp.maximum(ln, 0.0)
+                    ln = wmap(lambda x: jnp.maximum(x, 0.0), ln)
                     rn = ln
                     rt = lt
             elif pb == SYMMETRY:
                 # reflect: normal odd -> face value 0; tangential even
-                ln = rn = jnp.zeros_like(ln)
-            l[nrm] = _face_set(l[nrm], axis, fidx, ln)
-            r[nrm] = _face_set(r[nrm], axis, fidx, rn)
-            l[tng] = _face_set(l[tng], axis, fidx, lt)
-            r[tng] = _face_set(r[tng], axis, fidx, rt)
+                ln = rn = ln.zeros_like()
+            l[nrm] = l[nrm].set_plane(axis, fidx, ln)
+            r[nrm] = r[nrm].set_plane(axis, fidx, rn)
+            l[tng] = l[tng].set_plane(axis, fidx, lt)
+            r[tng] = r[tng].set_plane(axis, fidx, rt)
         return l, r
 
     # intermediate (hat) states on x- and y-faces
-    ulx, urx = normal_states(0, slx, hx)
+    ulx, urx = normal_states(0, hx)
     ulx, urx = apply_face_bc(ulx, urx, 0, nx)
-    uimhx0 = _riemann_normal(ulx[0], urx[0], eps)
-    uimhx1 = _riemann_transverse(ulx[1], urx[1], uimhx0, eps)
+    uimhx0 = _riemann_normal_w(ulx[0], urx[0], eps)
+    uimhx1 = _riemann_transverse_w(ulx[1], urx[1], uimhx0, eps)
 
-    uly, ury = normal_states(1, sly, hy)
+    uly, ury = normal_states(1, hy)
     uly, ury = apply_face_bc(uly, ury, 1, ny)
-    uimhy1 = _riemann_normal(uly[1], ury[1], eps)
-    uimhy0 = _riemann_transverse(uly[0], ury[0], uimhy1, eps)
+    uimhy1 = _riemann_normal_w(uly[1], ury[1], eps)
+    uimhy0 = _riemann_transverse_w(uly[0], ury[0], uimhy1, eps)
 
     def full_states(axis, l_ax, r_ax, t_imh_n, t_imh_t, h_t):
         """Add the transverse correction (velpred.f90:402-498).
@@ -157,47 +169,47 @@ def velpred_2d(u: jnp.ndarray, force: jnp.ndarray, dt: float,
         """
         t = 1 - axis
         # transverse faces bounding a cell row: face j (lo) and j+1 (hi)
-        tn_lo, tn_hi = t_imh_n, shift(t_imh_n, t, 1)
-        tt_lo, tt_hi = t_imh_t, shift(t_imh_t, t, 1)
-        corr = (dt4 / h_t) * (tn_lo + tn_hi) * (tt_hi - tt_lo)
+        corr = (dt4 / h_t) * (t_imh_n + t_imh_n.shift(t, 1)) * \
+            (t_imh_t.shift(t, 1) - t_imh_t)
         # left state comes from the cell behind the face along ``axis``
-        macl = l_ax[axis] - shift(corr, axis, -1)
+        macl = l_ax[axis] - corr.shift(axis, -1)
         macr = r_ax[axis] - corr
         if not use_minion:
-            macl = macl + dt2 * shift(force[axis], axis, -1)
-            macr = macr + dt2 * force[axis]
+            macl = macl + dt2 * fw[axis].shift(axis, -1)
+            macr = macr + dt2 * fw[axis]
         return macl, macr
 
     umacl, umacr = full_states(0, ulx, urx, uimhy1, uimhy0, hy)
     vmacl, vmacr = full_states(1, uly, ury, uimhx0, uimhx1, hx)
 
     def finalize(axis, macl, macr, n_ax):
-        mac = _riemann_normal(macl, macr, eps)
+        mac = _riemann_normal_w(macl, macr, eps)
         for side, fidx in ((0, ng), (1, ng + n_ax)):
             pb = phys_bc[axis][side]
             if pb == PERIODIC:
                 continue
-            cur = _face_get(mac, axis, fidx)
             if pb in (SLIP_WALL, NO_SLIP_WALL, SYMMETRY):
-                val = jnp.zeros_like(cur)
+                val = mac.plane(axis, fidx).zeros_like()
             elif pb == INLET:
                 gidx = fidx - 1 if side == 0 else fidx
-                val = _face_get(u[axis], axis, gidx)
+                val = uw[axis].plane(axis, gidx, as_coord=fidx)
             elif pb == OUTLET:
                 if side == 0:
-                    val = jnp.minimum(_face_get(macr, axis, fidx), 0.0)
+                    val = wmap(lambda x: jnp.minimum(x, 0.0),
+                               macr.plane(axis, fidx))
                 else:
-                    val = jnp.maximum(_face_get(macl, axis, fidx), 0.0)
+                    val = wmap(lambda x: jnp.maximum(x, 0.0),
+                               macl.plane(axis, fidx))
             else:
                 continue
-            mac = _face_set(mac, axis, fidx, val)
+            mac = mac.set_plane(axis, fidx, val)
         return mac
 
     umac = finalize(0, umacl, umacr, nx)
     vmac = finalize(1, vmacl, vmacr, ny)
 
-    return (umac[ng:ng + nx + 1, ng:ng + ny],
-            vmac[ng:ng + nx, ng:ng + ny + 1])
+    return (umac.crop((ng, ng), (ng + nx + 1, ng + ny)),
+            vmac.crop((ng, ng), (ng + nx, ng + ny + 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -212,43 +224,46 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
               use_minion: bool):
     """Godunov edge states sedgex/sedgey and conservative fluxes.
 
-    s, force, mac_rhs: (nc, Nx, Ny) ghost-padded cell arrays (mac_rhs is
-    (Nx, Ny)). umac_pad/vmac_pad: cell-aligned padded face arrays with valid
-    tangential ghost rows (>=1). Returns interior sedgex (nc, nx+1, ny),
+    s, force: (nc, Nx, Ny) ghost-padded cell arrays; mac_rhs is (Nx, Ny).
+    umac_pad/vmac_pad: cell-aligned padded face arrays with >=1 valid
+    tangential ghost row. Returns interior sedgex (nc, nx+1, ny),
     sedgey (nc, nx, ny+1), fluxx, fluxy.
     """
+    dm = 2
     nx, ny = n_cell
     nc = s.shape[0]
     dt2, dt4 = 0.5 * dt, 0.25 * dt
-    hx, hy = dx
+
+    macw = mac_wins((umac_pad, vmac_pad), ng, n_cell)
 
     umax = jnp.maximum(
         jnp.max(jnp.abs(umac_pad[ng:ng + nx + 1, ng:ng + ny])),
         jnp.max(jnp.abs(vmac_pad[ng:ng + nx, ng:ng + ny + 1])))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
 
-    slopex = jnp.stack([slope(s[c], 0, ng, adv_bc[c][0][0], adv_bc[c][0][1],
-                              slope_order, nx) for c in range(nc)])
-    slopey = jnp.stack([slope(s[c], 1, ng, adv_bc[c][1][0], adv_bc[c][1][1],
-                              slope_order, ny) for c in range(nc)])
+    sw = [full(s[c], dm) for c in range(nc)]
+    fw = [full(force[c], dm) for c in range(nc)]
+    mrw = full(mac_rhs, dm)
 
-    mac = (umac_pad, vmac_pad)
-    slopes = (slopex, slopey)
+    slopes = [[slope(s[c], a, ng, adv_bc[c][a][0], adv_bc[c][a][1],
+                     slope_order, n_cell[a], dm=dm) for c in range(nc)]
+              for a in range(dm)]
     n_ax = (nx, ny)
 
     def normal_states(c, axis):
         """1-D extrapolation of s[c] to ``axis`` faces (mkflux.f90:299-314)."""
-        adv = mac[axis]
+        adv = macw[axis]
         sl_ax = slopes[axis][c]
-        l = shift(s[c] + (0.5 * jnp.ones_like(adv)) * sl_ax, axis, -1) \
-            - (dt2 / (hx if axis == 0 else hy)) * adv * shift(sl_ax, axis, -1)
-        r = s[c] - (0.5 + dt2 * adv / (hx if axis == 0 else hy)) * sl_ax
+        h = dx[axis]
+        l = (sw[c] + 0.5 * sl_ax).shift(axis, -1) - \
+            (dt2 / h) * adv * sl_ax.shift(axis, -1)
+        r = sw[c] - (0.5 + dt2 * adv / h) * sl_ax
         if use_minion:
-            l = l + dt2 * shift(force[c], axis, -1)
-            r = r + dt2 * force[c]
+            l = l + dt2 * fw[c].shift(axis, -1)
+            r = r + dt2 * fw[c]
         if use_minion and is_conservative[c]:
-            l = l - dt2 * shift(s[c] * mac_rhs, axis, -1)
-            r = r - dt2 * s[c] * mac_rhs
+            l = l - dt2 * (sw[c] * mrw).shift(axis, -1)
+            r = r - dt2 * sw[c] * mrw
         return l, r
 
     def apply_face_bc(l, r, c, axis):
@@ -258,22 +273,22 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
             if pb == PERIODIC:
                 continue
             gidx = fidx - 1 if side == 0 else fidx
-            sg = _face_get(s[c], axis, gidx)
-            lv = _face_get(l, axis, fidx)
-            rv = _face_get(r, axis, fidx)
+            sg = sw[c].plane(axis, gidx, as_coord=fidx)
+            lv = l.plane(axis, fidx)
+            rv = r.plane(axis, fidx)
             normal_vel = is_vel and c == axis
             if pb == INLET:
                 lv = rv = sg
             elif pb == SLIP_WALL:
                 if normal_vel:
-                    lv = rv = jnp.zeros_like(lv)
+                    lv = rv = lv.zeros_like()
                 elif side == 0:
                     lv = rv
                 else:
                     rv = lv
             elif pb == NO_SLIP_WALL:
                 if is_vel:
-                    lv = rv = jnp.zeros_like(lv)
+                    lv = rv = lv.zeros_like()
                 elif side == 0:
                     lv = rv
                 else:
@@ -281,22 +296,22 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
             elif pb == OUTLET:
                 if normal_vel:
                     if side == 0:
-                        lv = rv = jnp.minimum(rv, 0.0)
+                        lv = rv = wmap(lambda x: jnp.minimum(x, 0.0), rv)
                     else:
-                        lv = rv = jnp.maximum(lv, 0.0)
+                        lv = rv = wmap(lambda x: jnp.maximum(x, 0.0), lv)
                 elif side == 0:
                     lv = rv
                 else:
                     rv = lv
             elif pb == SYMMETRY:
                 if normal_vel:
-                    lv = rv = jnp.zeros_like(lv)
+                    lv = rv = lv.zeros_like()
                 elif side == 0:
                     lv = rv
                 else:
                     rv = lv
-            l = _face_set(l, axis, fidx, lv)
-            r = _face_set(r, axis, fidx, rv)
+            l = l.set_plane(axis, fidx, lv)
+            r = r.set_plane(axis, fidx, rv)
         return l, r
 
     sedgex_l, sedgey_l, fluxx_l, fluxy_l = [], [], [], []
@@ -305,11 +320,11 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
         # hat states on both face sets
         slx_, srx_ = normal_states(c, 0)
         slx_, srx_ = apply_face_bc(slx_, srx_, c, 0)
-        simhx = _riemann_transverse(slx_, srx_, umac_pad, eps)
+        simhx = _riemann_transverse_w(slx_, srx_, macw[0], eps)
 
         sly_, sry_ = normal_states(c, 1)
         sly_, sry_ = apply_face_bc(sly_, sry_, c, 1)
-        simhy = _riemann_transverse(sly_, sry_, vmac_pad, eps)
+        simhy = _riemann_transverse_w(sly_, sry_, macw[1], eps)
 
         hats = (simhx, simhy)
         ls = (slx_, sly_)
@@ -318,54 +333,54 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
         def edge_states(axis):
             """Transverse-corrected edge states (mkflux.f90:470-505,573-601)."""
             t = 1 - axis
-            h_t = hy if axis == 0 else hx
-            adv_t = mac[t]
+            h_t = dx[t]
+            adv_t = macw[t]
             hat_t = hats[t]
-            a_lo, a_hi = adv_t, shift(adv_t, t, 1)
-            h_lo, h_hi = hat_t, shift(hat_t, t, 1)
+            a_lo, a_hi = adv_t, adv_t.shift(t, 1)
+            h_lo, h_hi = hat_t, hat_t.shift(t, 1)
             if is_conservative[c]:
                 corr = (dt2 / h_t) * (h_hi * a_hi - h_lo * a_lo) \
-                    - (dt2 / h_t) * s[c] * (a_hi - a_lo)
+                    - (dt2 / h_t) * sw[c] * (a_hi - a_lo)
             else:
                 corr = (dt4 / h_t) * (a_lo + a_hi) * (h_hi - h_lo)
-            el = ls[axis] - shift(corr, axis, -1)
+            el = ls[axis] - corr.shift(axis, -1)
             er = rs[axis] - corr
             if not use_minion:
-                el = el + dt2 * shift(force[c], axis, -1)
-                er = er + dt2 * force[c]
+                el = el + dt2 * fw[c].shift(axis, -1)
+                er = er + dt2 * fw[c]
             if (not use_minion) and is_conservative[c]:
-                el = el - dt2 * shift(s[c] * mac_rhs, axis, -1)
-                er = er - dt2 * s[c] * mac_rhs
+                el = el - dt2 * (sw[c] * mrw).shift(axis, -1)
+                er = er - dt2 * sw[c] * mrw
             return el, er
 
         def finalize(axis, el, er):
             """Riemann + boundary overrides on final edge states
             (mkflux.f90:508-553, 604-651)."""
-            edge = _riemann_transverse(el, er, mac[axis], eps)
+            edge = _riemann_transverse_w(el, er, macw[axis], eps)
             for side, fidx in ((0, ng), (1, ng + n_ax[axis])):
                 pb = phys_bc[axis][side]
                 if pb == PERIODIC:
                     continue
                 gidx = fidx - 1 if side == 0 else fidx
-                cur = _face_get(edge, axis, fidx)
-                inner = _face_get(er if side == 0 else el, axis, fidx)
+                inner = (er if side == 0 else el).plane(axis, fidx)
                 normal_vel = is_vel and c == axis
                 if pb == INLET:
-                    val = _face_get(s[c], axis, gidx)
+                    val = sw[c].plane(axis, gidx, as_coord=fidx)
                 elif pb in (SLIP_WALL, NO_SLIP_WALL, SYMMETRY):
                     if (is_vel and pb == NO_SLIP_WALL) or normal_vel:
-                        val = jnp.zeros_like(cur)
+                        val = inner.zeros_like()
                     else:
                         val = inner
                 elif pb == OUTLET:
                     if normal_vel:
-                        val = jnp.minimum(inner, 0.0) if side == 0 \
-                            else jnp.maximum(inner, 0.0)
+                        val = wmap(lambda x: jnp.minimum(x, 0.0), inner) \
+                            if side == 0 else \
+                            wmap(lambda x: jnp.maximum(x, 0.0), inner)
                     else:
                         val = inner
                 else:
                     continue
-                edge = _face_set(edge, axis, fidx, val)
+                edge = edge.set_plane(axis, fidx, val)
             return edge
 
         ex_l, ex_r = edge_states(0)
@@ -374,19 +389,22 @@ def mkflux_2d(s: jnp.ndarray, umac_pad: jnp.ndarray, vmac_pad: jnp.ndarray,
         ey = finalize(1, ey_l, ey_r)
         sedgex_l.append(ex)
         sedgey_l.append(ey)
-        zero = jnp.zeros_like(ex)
-        fluxx_l.append(ex * umac_pad if is_conservative[c] else zero)
-        fluxy_l.append(ey * vmac_pad if is_conservative[c] else zero)
+        fluxx_l.append(ex * macw[0] if is_conservative[c] else None)
+        fluxy_l.append(ey * macw[1] if is_conservative[c] else None)
 
     def crop_x(f):
-        return f[..., ng:ng + nx + 1, ng:ng + ny]
+        return f.crop((ng, ng), (ng + nx + 1, ng + ny))
 
     def crop_y(f):
-        return f[..., ng:ng + nx, ng:ng + ny + 1]
+        return f.crop((ng, ng), (ng + nx, ng + ny + 1))
 
     # crop BEFORE stacking so the stack concatenates small interior arrays
     sedgex = jnp.stack([crop_x(f) for f in sedgex_l])
     sedgey = jnp.stack([crop_y(f) for f in sedgey_l])
-    fluxx = jnp.stack([crop_x(f) for f in fluxx_l])
-    fluxy = jnp.stack([crop_y(f) for f in fluxy_l])
+    fluxx = jnp.stack([crop_x(f) if f is not None
+                       else jnp.zeros_like(crop_x(sedgex_l[i]))
+                       for i, f in enumerate(fluxx_l)])
+    fluxy = jnp.stack([crop_y(f) if f is not None
+                       else jnp.zeros_like(crop_y(sedgey_l[i]))
+                       for i, f in enumerate(fluxy_l)])
     return sedgex, sedgey, fluxx, fluxy

@@ -122,7 +122,7 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
     phases = {}
     umac = premac(state, dt)
     jax.block_until_ready(umac)
-    umac2, _, _ = mac(state, umac)
+    umac2 = mac(state, umac)[0]
     jax.block_until_ready(umac2)
     snew = scalar(state, umac2, dt)
     jax.block_until_ready(snew)

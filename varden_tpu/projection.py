@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .config import INLET
@@ -74,8 +75,9 @@ def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
     beta = mk_mac_coeffs(sim, rho)
     ell_bc = [tuple(sim.ell_bc[sim.press_comp][d]) for d in range(dm)]
     aco = jnp.zeros(n, sim.dtype)
-    phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rhs, alpha=0.0,
-                      phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0)
+    with jax.named_scope("mac_solve"):
+        phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rhs, alpha=0.0,
+                          phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0)
 
     # subtract beta * grad(phi) on every face; the BC-aware ghost pad makes
     # the 2-point difference realize the one-sided boundary gradient that the
@@ -144,8 +146,9 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
     sigma = 1.0 / rhohalf
     mask = sim.nodal_mask()
     rhs = nodal.divu_rhs(vel, dx, pmask, dm, inflow_pad=_inflow_pad(sim))
-    phi, _ = nodal.solve(n, dx, pmask, sigma, rhs, mask=mask, phi0=phi0,
-                         rel_eps=rel_eps, abs_eps=abs_eps)
+    with jax.named_scope("hg_solve"):
+        phi, _ = nodal.solve(n, dx, pmask, sigma, rhs, mask=mask, phi0=phi0,
+                             rel_eps=rel_eps, abs_eps=abs_eps)
     gphi = nodal.cell_grad(phi, dx, pmask, dm)
 
     # hg_update (hgproject.f90:581-634)
@@ -216,9 +219,10 @@ def visc_solve(sim: Sim, unew: jnp.ndarray, lapu: jnp.ndarray,
         beta = tuple(jnp.full(tuple(n[t] + (1 if t == a else 0)
                                     for t in range(dm)), visc_mu, sim.dtype)
                      for a in range(dm))
-        phi, _ = mg.solve(n, dx, ell_bc, jnp.asarray(rho), beta, rh,
-                          alpha=1.0, bvals=bvals, phi0=unew[d],
-                          rel_eps=rel_eps, abs_eps=-1.0)
+        with jax.named_scope("visc_solve"):
+            phi, _ = mg.solve(n, dx, ell_bc, jnp.asarray(rho), beta, rh,
+                              alpha=1.0, bvals=bvals, phi0=unew[d],
+                              rel_eps=rel_eps, abs_eps=-1.0)
         out.append(phi)
     return jnp.stack(out)
 
@@ -242,9 +246,10 @@ def diff_scalar_solve(sim: Sim, snew: jnp.ndarray, laps: jnp.ndarray,
                                     for t in range(dm)), visc_mu, sim.dtype)
                      for a in range(dm))
         aco = jnp.ones(n, sim.dtype)
-        phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rh, alpha=1.0,
-                          bvals=bvals, phi0=snew[i], rel_eps=rel_eps,
-                          abs_eps=-1.0)
+        with jax.named_scope("diff_solve"):
+            phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rh, alpha=1.0,
+                              bvals=bvals, phi0=snew[i], rel_eps=rel_eps,
+                              abs_eps=-1.0)
         out.append(phi)
     return jnp.stack(out)
 

@@ -270,7 +270,8 @@ def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
         out = phi
         for _ in range(nsweeps):
             pad = _pad_ghost(out, level.ell_bc, bvals, level.dm)
-            res = sweep(pad, rhs, inv_diag, level.beta, level.dx)
+            res = sweep(pad, rhs, inv_diag, level.beta, level.dx,
+                        aco=level.aco, alpha=level.alpha)
             if res is None:
                 ok = False
                 break

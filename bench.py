@@ -41,12 +41,14 @@ def bench_amr(n, dtype):
     step = v._ml_step_fn(4)  # REGULAR_TIMESTEP
     import jax.numpy as jnp
     dt = 5e-4
+    hints0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
 
     def run(k):
         t0 = time.perf_counter()
-        s = states
+        s, h = states, hints0
         for _ in range(k):
-            s, _diag = step(s, dt)
+            s, diag = step(s, dt, h)
+            h = {"phi_mac": diag["phi_mac"], "phi_hg": diag["phi_hg"]}
         _ = float(jnp.sum(s[0].u))
         return time.perf_counter() - t0
 

@@ -84,31 +84,109 @@ def test_composite_cc_converges_periodic():
 
 
 def test_composite_nodal_converges():
+    """2-level composite nodal solve reaches solver tolerance (interface
+    rows carry both coarse and P^T-restricted fine contributions)."""
     geom = _geom(bc=15)
-    sim = geom.sim
     n0, n1 = geom.specs[0].n, geom.specs[1].n
     sigma = [jnp.ones(n0), jnp.ones(n1)]
-    # a compatible rhs: weak divergence of a smooth velocity field
     from varden_tpu.solvers import nodal
-    dx0 = 1.0 / 32
+    from varden_tpu.amr.hierarchy import prolong_cells
     rng = np.random.RandomState(3)
     u0 = jnp.asarray(rng.rand(2, 32, 32) - 0.5)
-    from varden_tpu.amr.hierarchy import prolong_cells
-    u1 = prolong_cells(u0, 2)[:, 2 * geom.specs[1].lo[0] // 2:, :]
-    # build fine field simply by sampling: interpolate u0 to fine box
     up = prolong_cells(u0, 2)
     s1 = geom.specs[1]
     u1 = up[:, s1.lo[0]:s1.hi[0], s1.lo[1]:s1.hi[1]]
-    rhs0 = nodal.divu_rhs(u0, (dx0, dx0), sim.pmask, 2)
-    pm1 = (False, False)
-    rhs1 = nodal.divu_rhs(u1, (dx0 / 2, dx0 / 2), pm1, 2)
 
-    fn = jax.jit(lambda r0, r1: amr_solve.composite_nodal_solve(
-        geom, sigma, [r0, r1], rel_eps=1e-9))
-    phis, rn = fn(rhs0, rhs1)
+    fn = jax.jit(lambda v0, v1: amr_solve.composite_nodal_solve(
+        geom, sigma, [v0, v1], rel_eps=1e-10))
+    phis, rn = fn(u0, u1)
     assert np.isfinite(np.array(phis[0])).all()
     assert np.isfinite(np.array(phis[1])).all()
-    # the composite nodal interface approximation bounds the achievable
-    # residual around ~1e-7 relative; the approximate projection only needs
-    # the divergence slashed, not solver-eps zero
-    assert float(rn) < 1e-6 * float(jnp.max(jnp.abs(rhs0)))
+    pm0 = tuple(geom.sim.pmask)
+    rhs0 = nodal.divu_rhs(u0, geom.dx(0), pm0, 2)
+    assert float(rn) < 1.1e-10 * float(jnp.max(jnp.abs(rhs0)))
+
+
+def test_composite_nodal_3level_converges():
+    """3-level nodal composite: middle-level interface rows must converge
+    too (the recursive correction folds the child defect down)."""
+    geom = _geom_deep(3, bc=15)
+    from varden_tpu.solvers import nodal
+    from varden_tpu.amr.hierarchy import prolong_cells
+    rng = np.random.RandomState(5)
+    sigma = [jnp.asarray(0.5 + rng.rand(*s.n)) for s in geom.specs]
+    u0 = jnp.asarray(rng.rand(2, 32, 32) - 0.5)
+    us = [u0]
+    for l in (1, 2):
+        up = prolong_cells(us[-1], 2)
+        s = geom.specs[l]
+        pl_ = geom.specs[l - 1]
+        us.append(up[:, s.lo[0] - 2 * pl_.lo[0]:s.hi[0] - 2 * pl_.lo[0],
+                     s.lo[1] - 2 * pl_.lo[1]:s.hi[1] - 2 * pl_.lo[1]])
+
+    fn = jax.jit(lambda vs: amr_solve.composite_nodal_solve(
+        geom, sigma, vs, rel_eps=1e-10))
+    phis, rn = fn(us)
+    rhs0 = nodal.divu_rhs(u0, geom.dx(0), tuple(geom.sim.pmask), 2)
+    assert float(rn) < 1.1e-10 * float(jnp.max(jnp.abs(rhs0))), float(rn)
+    for p in phis:
+        assert np.isfinite(np.array(p)).all()
+
+
+def _geom_deep(nlev, bc=15, n=32):
+    cfg = VardenConfig(dim_in=2, n_cellx=n, n_celly=n, max_levs=nlev,
+                       bcx_lo=bc, bcx_hi=bc, bcy_lo=bc, bcy_hi=bc)
+    sim = Sim(cfg)
+    specs = [LevelSpec((0, 0), (n, n)),
+             LevelSpec((16, 16), (32, 32)),
+             LevelSpec((40, 40), (32, 32)),
+             LevelSpec((88, 88), (32, 32))][:nlev]
+    return MLGeom(sim, specs)
+
+
+def _smooth_rhs_levels(geom):
+    """sin*cos sampled at each level's cell centers over its box."""
+    out = []
+    for l, spec in enumerate(geom.specs):
+        dx = geom.dx(l)
+        xs = [dx[d] * (np.arange(spec.lo[d], spec.hi[d]) + 0.5)
+              for d in range(2)]
+        X, Y = np.meshgrid(*xs, indexing="ij")
+        out.append(jnp.asarray(np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)))
+    return out
+
+
+def _deep_cc_case(nlev, bc):
+    """3+/4-level composite cc solve must reach solver tolerance (the
+    recursive composite V-cycle carries middle-level flux registers; the
+    reference's ml_cc_solve semantics, mac_multigrid.f90:53-62)."""
+    geom = _geom_deep(nlev, bc=bc)
+    sim = geom.sim
+    from varden_tpu.bc import BC_DIR, BC_NEU
+    if bc != -1:
+        sim.ell_bc[sim.press_comp] = [[BC_DIR, BC_NEU], [BC_NEU, BC_NEU]]
+    rhs = _smooth_rhs_levels(geom)
+    if bc == -1:
+        rhs[0] = rhs[0] - jnp.mean(rhs[0])
+    aco = [jnp.zeros(s.n) for s in geom.specs]
+    beta = [_beta_ones(s.n) for s in geom.specs]
+
+    fn = jax.jit(lambda rs: amr_solve.composite_cc_solve(
+        geom, sim.press_comp, rs, aco, beta, 0.0, rel_eps=1e-10))
+    phis, rn = fn(rhs)
+    bnorm = float(jnp.max(jnp.abs(rhs[0])))
+    assert float(rn) < 1.1e-10 * bnorm, f"nlev={nlev} bc={bc}: rn={float(rn)}"
+    for p in phis:
+        assert np.isfinite(np.array(p)).all()
+
+
+def test_composite_cc_3level_dirichlet():
+    _deep_cc_case(3, 15)
+
+
+def test_composite_cc_3level_periodic():
+    _deep_cc_case(3, -1)
+
+
+def test_composite_cc_4level_dirichlet():
+    _deep_cc_case(4, 15)

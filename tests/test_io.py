@@ -56,3 +56,21 @@ def test_plotfile_multilevel(tmp_path, monkeypatch):
     assert len(levels) == 2
     assert np.allclose(levels[0], f0)
     assert np.allclose(levels[1], f1)
+
+
+def test_fab_header_is_valid_amrex(tmp_path):
+    """The FAB data-file header must match the AMReX/FBoxLib on-disk grammar
+    exactly (byte order matching the written bytes, single paren pair around
+    the box) so external tools (amrvis/yt) parse it. Known-good line for a
+    little-endian float64 (0,0)-(7,7) 2-component FAB."""
+    import sys
+    from varden_tpu.io import boxlib
+    data = np.arange(2 * 8 * 8, dtype=np.float64).reshape(2, 8, 8)
+    boxlib.write_multifab(str(tmp_path / "L0"), data)
+    with open(tmp_path / "L0" / "Cell_D_00000", "rb") as f:
+        hdr = f.readline().decode().rstrip("\n")
+    order = "(8 7 6 5 4 3 2 1)" if sys.byteorder == "little" \
+        else "(1 2 3 4 5 6 7 8)"
+    expect = ("FAB ((8, (64 11 52 0 1 12 0 1023)),(8, " + order + "))"
+              "((0,0) (7,7) (0,0)) 2")
+    assert hdr == expect

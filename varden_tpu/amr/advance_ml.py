@@ -117,9 +117,9 @@ def grow_mac_ml(geom: MLGeom, umac_l, lev: int, ng: int):
 # composite projections
 # ---------------------------------------------------------------------------
 
-def macproject_ml(geom: MLGeom, umac_l, rho_l):
+def macproject_ml(geom: MLGeom, umac_l, rho_l, phi0_l=None):
     """Composite MAC projection (reference macproject.f90:20-133 over the
-    level hierarchy)."""
+    level hierarchy). phi0_l warm-starts the composite solve."""
     sim = geom.sim
     dm, nlev = geom.dm, geom.nlev
     rel_eps = sim.eps(1.0e-10)
@@ -149,7 +149,8 @@ def macproject_ml(geom: MLGeom, umac_l, rho_l):
     div_before = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
     aco_l = [jnp.zeros(geom.specs[l].n, sim.dtype) for l in range(nlev)]
     phis, _ = amr_solve.composite_cc_solve(
-        geom, sim.press_comp, rhs_l, aco_l, beta_l, 0.0, rel_eps=rel_eps)
+        geom, sim.press_comp, rhs_l, aco_l, beta_l, 0.0, phi0_l=phi0_l,
+        rel_eps=rel_eps)
 
     ell0 = [tuple(sim.ell_bc[sim.press_comp][d]) for d in range(dm)]
     new_umac = []
@@ -176,18 +177,18 @@ def macproject_ml(geom: MLGeom, umac_l, rho_l):
     div_after = jnp.max(jnp.stack(
         [jnp.max(jnp.abs(basic.mac_div(new_umac[l], geom.dx(l)) + 0.0))
          for l in range(nlev)]))
-    return new_umac, div_before, div_after
+    return new_umac, div_before, div_after, phis
 
 
 def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
-                 gp_l, dt):
+                 gp_l, dt, phi0_l=None):
     """Composite nodal projection (reference hgproject.f90 over the level
-    hierarchy)."""
+    hierarchy). phi0_l warm-starts the composite nodal solve."""
     sim = geom.sim
     dm, nlev = geom.dm, geom.nlev
     rel_eps = sim.eps(1.0e-10)
 
-    vel_l, sigma_l, rhs_l = [], [], []
+    vel_l, sigma_l, inflow_l = [], [], []
     pmask_l = [[geom.side_kind(l, d, 0) == "per" for d in range(dm)]
                for l in range(nlev)]
     for l in range(nlev):
@@ -199,11 +200,21 @@ def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
             vel = unew_l[l] + dt * gp_l[l] / rhohalf_l[l]
         vel_l.append(vel)
         sigma_l.append(1.0 / rhohalf_l[l])
-        inflow = projection._inflow_pad(sim) if l == 0 else None
-        rhs_l.append(nodal.divu_rhs(vel, geom.dx(l), pmask_l[l], dm,
-                                    inflow_pad=inflow))
+        if l == 0:
+            inflow = projection._inflow_pad(sim)
+        else:
+            # a fine level whose box touches an INLET domain side needs the
+            # same EXT_DIR ghost velocity in its weak divergence; coarse-fine
+            # sides stay zero (those rows are interface-masked anyway)
+            def inflow(c, d, side, _l=l, _p=projection._inflow_pad(sim)):
+                if geom.side_kind(_l, d, side) == "phys":
+                    return _p(c, d, side)
+                return 0.0
+        inflow_l.append(inflow)
 
-    phis, _ = amr_solve.composite_nodal_solve(geom, sigma_l, rhs_l,
+    phis, _ = amr_solve.composite_nodal_solve(geom, sigma_l, vel_l,
+                                              inflow_pad_l=inflow_l,
+                                              phi0_l=phi0_l,
                                               rel_eps=rel_eps)
 
     new_u, new_p, new_gp = [], [], []
@@ -228,7 +239,7 @@ def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
         new_gp.append(gp)
     new_u = restrict_and_sync(geom, new_u)
     new_gp = restrict_and_sync(geom, new_gp)
-    return new_u, new_p, new_gp
+    return new_u, new_p, new_gp, phis
 
 
 def restrict_and_sync(geom: MLGeom, arrs_l):
@@ -269,8 +280,8 @@ def flux_sync(geom: MLGeom, flux_l, is_cons):
 # the multilevel step
 # ---------------------------------------------------------------------------
 
-def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int
-               ) -> Tuple[List[State], Dict]:
+def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
+               hints: Dict = None) -> Tuple[List[State], Dict]:
     sim = geom.sim
     cfg = sim.cfg
     dm, nlev, ng = geom.dm, geom.nlev, sim.ng
@@ -330,7 +341,9 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int
     umac_l = edge_restrict_mac(geom, umac_l)
 
     # ---- composite MAC projection
-    umac_l, div_b, div_a = macproject_ml(geom, umac_l, s_l)
+    umac_l, div_b, div_a, phi_mac_l = macproject_ml(
+        geom, umac_l, s_l,
+        phi0_l=None if hints is None else hints.get("phi_mac"))
 
     mac_pads_l = [grow_mac_ml(geom, umac_l, l, ng) for l in range(nlev)]
 
@@ -474,14 +487,16 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int
         unew_l = restrict_and_sync(geom, unew_l)
 
     # ---- composite nodal projection
-    unew_l, p_l, gp_l = hgproject_ml(geom, proj_type, unew_l, u_l,
-                                     rhohalf_l, p_l, gp_l, dt)
+    unew_l, p_l, gp_l, phi_hg_l = hgproject_ml(
+        geom, proj_type, unew_l, u_l, rhohalf_l, p_l, gp_l, dt,
+        phi0_l=None if hints is None else hints.get("phi_hg"))
 
     new_states = [State(u=unew_l[l], s=snew_l[l], gp=gp_l[l], p=p_l[l])
                   for l in range(nlev)]
     diag = {"div_before": div_b, "div_after": div_a,
             "smin": jnp.min(snew_l[0][0]), "smax": jnp.max(snew_l[0][0]),
-            "umax": jnp.max(jnp.abs(unew_l[0]))}
+            "umax": jnp.max(jnp.abs(unew_l[0])),
+            "phi_mac": phi_mac_l, "phi_hg": phi_hg_l}
     return new_states, diag
 
 

@@ -192,16 +192,24 @@ def parse_fixed_grids(path: str, dm: int):
             nbox = 1
         lo = [10 ** 9] * dm
         hi = [-10 ** 9] * dm
+        box_cells = 0
         for _b in range(nbox):
             m = box_re.search(lines[idx])
             idx += 1
             blo = [int(v) for v in m.group(1).split(",")[:dm]]
             bhi = [int(v) for v in m.group(2).split(",")[:dm]]
+            box_cells += int(np.prod([bhi[d] + 1 - blo[d] for d in range(dm)]))
             lo = [min(lo[d], blo[d]) for d in range(dm)]
             hi = [max(hi[d], bhi[d] + 1) for d in range(dm)]
         # even alignment for ratio-2 hierarchies
         lo = [(v // 2) * 2 for v in lo]
         hi = [-((-v) // 2) * 2 for v in hi]
+        if nbox > 1:
+            bb_cells = int(np.prod([h - l for l, h in zip(lo, hi)]))
+            print(f"WARNING: fixed-grids level with {nbox} boxes collapsed "
+                  f"to bounding box; coverage ratio "
+                  f"{box_cells / max(bb_cells, 1):.2f} — grid hierarchy and "
+                  f"cost differ from the reference run")
         out.append(LevelSpec(tuple(lo), tuple(h - l for l, h in zip(lo, hi))))
     return out
 

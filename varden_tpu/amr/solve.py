@@ -2,17 +2,22 @@
 
 TPU-native equivalent of FBoxLib's ml_cc_solve / ml_nd_solve consumed by the
 reference's mac_multigrid/hg_multigrid wrappers: the coupled coarse/fine
-problem is solved by block Gauss-Seidel over levels — each sweep does a full
-MG solve per level in correction form, with
+problem is iterated with a RECURSIVE composite V-cycle (the ml_cc/ml_nd
+structure), each outer cycle being
 
-  * fine levels seeing coarse-interpolated ghost values (Dirichlet-at-ghost-
-    cell at coarse-fine sides; the homogenized correction uses BC_GHOST),
-  * coarse residuals reflux-corrected at coarse-fine faces (the flux-register
-    role of bndry_reg/fine_flx, macproject.f90:522-609),
-  * covered coarse cells slaved to the restriction of the fine solution.
+  * composite residuals folded fine -> coarse, with flux-register
+    corrections at coarse-fine faces (the bndry_reg/fine_flx role,
+    macproject.f90:522-609) and covered rows restricted from the child,
+  * a downward correction pass: per-level mini V-cycle with homogeneous
+    interface ghosts, then the CORRECTION's own defect + flux registers
+    folded into the parent (this is what makes middle levels of 3+ level
+    hierarchies converge),
+  * a coarsest-level full solve, and an upward pass re-smoothing each level
+    with parent-interpolated interface ghosts,
+  * covered coarse data slaved to the restriction of the fine solution.
 
-Converges like a two-grid method because levels couple only through the
-interface; a handful of outer sweeps reaches the solver tolerance.
+Both the cell-centered and the nodal (slave-node composite FEM) variants
+converge to solver tolerance at any hierarchy depth.
 """
 from __future__ import annotations
 
@@ -271,33 +276,44 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
             phis[l] = phis[l].at[cov].set(restrict_cells(phis[l + 1], dm))
         return phis
 
+    zb = [[0.0, 0.0]] * dm
+
+    def comp_correction(res):
+        """One composite V-cycle on the correction problem A_comp d = res
+        (homogeneous BCs) — the ml_cc structure (FBoxLib ml_cc.f90 consumed
+        via /root/reference/src/mac_multigrid.f90:53-62): downward per-level
+        smooth + defect restriction carrying the CORRECTION's own flux
+        registers into the parent (the piece the round-1 block sweep lacked
+        at middle levels), coarsest full solve, upward prolong + re-smooth
+        with parent-interpolated interface ghosts."""
+        d = [jnp.zeros_like(r) for r in res]
+        res = list(res)
+        for l in range(nlev - 1, 0, -1):
+            d[l] = mg.v_cycle(hiers[l], d[l], res[l], zb)
+            pad_f = pad_phi(geom, l, d, ell0, zb, ng=1)
+            dres = res[l] - mg.apply_padded(pad_f, aco_l[l], beta_l[l],
+                                            alpha, geom.dx(l), dm)
+            cov = covered_slice_rel(geom, l - 1)
+            res[l - 1] = res[l - 1].at[cov].set(restrict_cells(dres, dm))
+            pad_c = pad_phi(geom, l - 1, d, ell0, zb, ng=1)  # d[l-1] == 0
+            res[l - 1] = _reflux_correct(geom, l - 1, res[l - 1], pad_c,
+                                         pad_f, beta_l[l - 1], beta_l[l])
+        r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
+        d[0] = mg.v_cycle(hiers[0], d[0], r0, zb, singular=singular)
+        for l in range(1, nlev):
+            cov = covered_slice_rel(geom, l - 1)
+            d[l] = d[l] + prolong_cells(d[l - 1][cov], dm)
+            pad = pad_phi(geom, l, d, ell0, zb, ng=1)
+            rl = res[l] - mg.apply_padded(pad, aco_l[l], beta_l[l], alpha,
+                                          geom.dx(l), dm)
+            d[l] = d[l] + mg.v_cycle(hiers[l], jnp.zeros_like(rl), rl, zb)
+        return d
+
     def body(carry):
         phis, k, _ = carry
         phis = list(phis)
-        res = residuals(phis)
-        r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
-        d0 = mg.v_cycle(hiers[0], jnp.zeros_like(r0), r0, [[0.0, 0.0]] * dm,
-                        singular=singular)
-        phis[0] = phis[0] + d0
-        d_prev = d0
-        for l in range(1, nlev):
-            # two-grid: seed this level with the prolonged parent correction,
-            # then recompute the residual with the updated parent ghosts and
-            # smooth with one V-cycle
-            cov = covered_slice_rel(geom, l - 1)
-            phis[l] = phis[l] + prolong_cells(d_prev[cov], dm)
-            pad = pad_phi(geom, l, phis, ell0, bvals, ng=1)
-            rl = rhs_l[l] - mg.apply_padded(pad, aco_l[l], beta_l[l], alpha,
-                                            geom.dx(l), dm)
-            # NOTE: middle levels are corrected WITHOUT their child's flux
-            # registers in this block sweep (the child is solved right
-            # after); for 3+ levels this leaves the composite residual at
-            # middle-level interfaces around ~1e-3 relative — a known round-1
-            # limitation (a fully recursive composite V-cycle is the fix).
-            # 2-level hierarchies converge to solver tolerance.
-            dl = mg.v_cycle(hiers[l], jnp.zeros_like(rl), rl, [[0.0, 0.0]] * dm)
-            phis[l] = phis[l] + dl
-            d_prev = prolong_cells(d_prev[cov], dm) + dl
+        d = comp_correction(residuals(phis))
+        phis = [p + di for p, di in zip(phis, d)]
         phis = slave(phis)
         if singular:
             m = jnp.mean(phis[0])
@@ -395,49 +411,102 @@ def fine_nodal_mask(geom: MLGeom, lev, extra_mask=None):
     return mask
 
 
-def composite_nodal_solve(geom: MLGeom, sigma_l, rhs_l, phi0_l=None,
-                          rel_eps=1e-10, max_outer=DEFAULT_OUTER):
-    """Composite nodal (hg) solve. Interface rows stay coarse (the flux-
-    register correction is omitted there — an approximation the outer
-    deferred-correction loop does not remove; adequate for the approximate
-    projection). Returns (phi_l, resnorm)."""
+def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
+                          phi0_l=None, rel_eps=1e-10,
+                          max_outer=DEFAULT_OUTER):
+    """Composite nodal (hg) solve over the hierarchy: the slave-node
+    composite FEM problem (FBoxLib ml_nd_solve semantics, consumed via
+    /root/reference/src/hg_multigrid.f90:95-105).
+
+    The composite residual at a coarse interface node carries BOTH sides:
+    the uncovered-cell coarse contributions plus the P^T-restricted
+    fine-cell contributions (the nodal flux-register role). Fine midpoint
+    nodes on the interface are slaves (linear interp of the coarse trace)
+    whose residuals fold into their master rows through P^T. The correction
+    cycle recurses fine->coarse with the correction's own interface defects
+    folded down, so 3+ level hierarchies converge to solver tolerance.
+
+    vel_l: (dm, *cells) velocity per level — needed to split the weak-form
+    RHS b_i = sum_c u_c·∫∇N_i into covered / uncovered cell contributions.
+    Returns (phi_l, resnorm)."""
     sim = geom.sim
     dm, nlev = geom.dm, geom.nlev
-    if phi0_l is None:
-        phi0_l = None
+    pmask_l = [[geom.side_kind(l, d, 0) == "per" for d in range(dm)]
+               for l in range(nlev)]
+    if inflow_pad_l is None:
+        inflow_pad_l = [None] * nlev
+    rhs_l = [nodal.divu_rhs(vel_l[l], geom.dx(l), pmask_l[l], dm,
+                            inflow_pad=inflow_pad_l[l])
+             for l in range(nlev)]
     if nlev == 1:
         phi, rn = nodal.solve(geom.specs[0].n, geom.dx(0), sim.pmask,
                               sigma_l[0], rhs_l[0], mask=sim.nodal_mask(),
+                              phi0=None if phi0_l is None else phi0_l[0],
                               rel_eps=rel_eps)
         return [phi], rn
 
-    pmask_l = [[geom.side_kind(l, d, 0) == "per" for d in range(dm)]
-               for l in range(nlev)]
     mask0 = sim.nodal_mask()
     masks = [mask0] + [fine_nodal_mask(geom, l) for l in range(1, nlev)]
-    hiers = [nodal.build_hierarchy(list(geom.specs[l].n), list(geom.dx(l)),
-                                   pmask_l[l], sigma_l[l], masks[l])
-             for l in range(nlev)]
     singular = mask0 is None
 
-    phis = [jnp.zeros(nodal.node_shape(geom.specs[l].n, pmask_l[l]),
-                      sim.dtype) for l in range(nlev)]
+    def cov_cells(lev):
+        return covered_slice_rel(geom, lev)
 
-    def covered_nodes(lev):
+    # sigma folded coarse-ward (rediscretized composite coefficient for the
+    # correction hierarchies) and the uncovered-only coefficient/velocity
+    sig_t = list(sigma_l)
+    for l in range(nlev - 2, -1, -1):
+        sig_t[l] = sig_t[l].at[cov_cells(l)].set(
+            restrict_cells(sig_t[l + 1], dm))
+    sig_uncov, rhs_uncov = [], []
+    for l in range(nlev - 1):
+        su = sigma_l[l].at[cov_cells(l)].set(0.0)
+        vu = vel_l[l].at[(slice(None),) + cov_cells(l)].set(0.0)
+        sig_uncov.append(su)
+        rhs_uncov.append(nodal.divu_rhs(vu, geom.dx(l), pmask_l[l], dm,
+                                        inflow_pad=inflow_pad_l[l]))
+
+    hiers = [nodal.build_hierarchy(list(geom.specs[l].n), list(geom.dx(l)),
+                                   pmask_l[l], sig_t[l], masks[l])
+             for l in range(nlev)]
+    # unmasked-apply levels: true per-level coefficients for residual math
+    lev_true = [nodal.NodalLevel(tuple(geom.specs[l].n),
+                                 tuple(geom.dx(l)), tuple(pmask_l[l]),
+                                 sigma_l[l], hiers[l][0].diag, None)
+                for l in range(nlev)]
+
+    if phi0_l is None:
+        phis = [jnp.zeros(nodal.node_shape(geom.specs[l].n, pmask_l[l]),
+                          sim.dtype) for l in range(nlev)]
+    else:
+        phis = [jnp.asarray(p) for p in phi0_l]
+
+    def covered_nodes(lev, full):
+        """Coarse-node window coincident with the child lattice; ``full``
+        includes the interface ring on cf sides."""
         child, spec = geom.specs[lev + 1], geom.specs[lev]
-        # interior covered coarse nodes (exclusive of the interface ring on
-        # cf sides; inclusive where the child touches the domain boundary)
         sl = []
         for d in range(dm):
             lo = child.lo[d] // 2 - spec.lo[d]
-            hi = child.hi[d] // 2 - spec.lo[d]
-            lo += 1 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
-            hi -= 0 if geom.side_kind(lev + 1, d, 1) == "cf" else -1
+            hi = child.hi[d] // 2 - spec.lo[d] + 1
+            if geom.side_kind(lev + 1, d, 0) == "per":
+                hi -= 1
+            elif not full and geom.side_kind(lev + 1, d, 0) == "cf":
+                lo += 1
+            if not full and geom.side_kind(lev + 1, d, 1) == "cf":
+                hi -= 1
             sl.append(slice(lo, hi))
         return tuple(sl)
 
+    def restrict_full(r_f, lev):
+        """P^T restriction of an (unmasked) child residual onto the
+        coincident coarse window (interface ring included)."""
+        pm = pmask_l[lev + 1]
+        return nodal._restrict(r_f, pm, dm)
+
     def fine_node_window(lev):
-        """slices into the fine node array matching covered_nodes strides."""
+        """Strided slices into the child node array giving the nodes
+        coincident with covered_nodes(lev, False)."""
         child = geom.specs[lev + 1]
         sl = []
         for d in range(dm):
@@ -448,65 +517,88 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, rhs_l, phi0_l=None,
             sl.append(slice(lo, stop + 1, 2))
         return tuple(sl)
 
+    def set_interfaces(phis):
+        for l in range(1, nlev):
+            phis[l] = _set_interface(geom, l, phis[l],
+                                     _interface_values(geom, l, phis[l - 1]))
+        return phis
+
+    def comp_residuals(phis):
+        """Unmasked composite residual per level, folded fine->coarse:
+        fine rows = b_f - A_f phi_f (zero-extended); coarse covered +
+        interface rows = uncovered-cell part + P^T(child residual)."""
+        res = [None] * nlev
+        res[nlev - 1] = rhs_l[nlev - 1] - nodal.nd_apply_raw(
+            lev_true[nlev - 1], phis[nlev - 1])
+        for l in range(nlev - 2, -1, -1):
+            r_own = rhs_uncov[l] - nodal._factored_apply(
+                phis[l], sig_uncov[l], geom.dx(l), pmask_l[l], dm)
+            res[l] = r_own.at[covered_nodes(l, True)].add(
+                restrict_full(res[l + 1], l))
+        return res
+
+    def resnorm(res):
+        parts = []
+        r0 = res[0] if masks[0] is None else res[0] * masks[0]
+        r0 = r0 - jnp.mean(r0) if singular else r0
+        parts.append(jnp.max(jnp.abs(r0)))
+        for l in range(1, nlev):
+            parts.append(jnp.max(jnp.abs(res[l] * masks[l])))
+        return jnp.max(jnp.stack(parts))
+
+    def comp_correction(res):
+        """One recursive composite V-cycle on A_comp d = res (homogeneous
+        interface/physical BCs), the ml_nd structure."""
+        d = [jnp.zeros_like(r) for r in res]
+        res = list(res)
+        for l in range(nlev - 1, 0, -1):
+            d[l] = nodal.v_cycle(hiers[l], d[l], res[l] * masks[l])
+            d[l] = d[l] * masks[l]
+            # fold the correction's composite defect into the parent rows
+            res[l - 1] = res[l - 1].at[covered_nodes(l - 1, True)].add(
+                restrict_full(-nodal.nd_apply_raw(hiers[l][0], d[l]), l - 1))
+        r0 = res[0]
+        if singular:
+            r0 = r0 - jnp.mean(r0)
+        if masks[0] is not None:
+            r0 = r0 * masks[0]
+        d[0] = nodal.v_cycle(hiers[0], d[0], r0)
+        for l in range(1, nlev):
+            seed = _prolong_node_patch(geom, l, d[l - 1])
+            d[l] = d[l] + seed  # interface rows get the parent-interp trace
+            rl = (res[l] - nodal.nd_apply_raw(hiers[l][0], d[l])) * masks[l]
+            d[l] = d[l] + nodal.v_cycle(hiers[l], jnp.zeros_like(rl),
+                                        rl) * masks[l]
+        return d
+
+    def slave(phis):
+        for l in range(nlev - 2, -1, -1):
+            phis[l] = phis[l].at[covered_nodes(l, False)].set(
+                phis[l + 1][fine_node_window(l)])
+        return phis
+
     def body(carry):
         phis, k, _ = carry
-        phis = list(phis)
-        # fine residual with current interface values
-        for _sweep in range(1):
-            # coarse residual: own apply + covered restriction of fine res
-            rc = rhs_l[0] - nodal.nd_apply_raw(hiers[0][0], phis[0])
-            for l in range(nlev - 1, 0, -1):
-                vals = _interface_values(geom, l, phis[l - 1])
-                phis[l] = _set_interface(geom, l, phis[l], vals)
-            res_f = [None] * nlev
-            for l in range(1, nlev):
-                res_f[l] = (rhs_l[l] - nodal.nd_apply_raw(hiers[l][0], phis[l])
-                            ) * masks[l]
-            rc_corr = rc
-            if nlev > 1:
-                rf_restr = nodal_restrict_window(res_f[1], geom, 0)
-                rc_corr = rc_corr.at[covered_nodes(0)].set(rf_restr)
-            if singular:
-                rc_corr = rc_corr - jnp.mean(rc_corr)
-            if masks[0] is not None:
-                rc_corr = rc_corr * masks[0]
-            d0 = nodal.v_cycle(hiers[0], jnp.zeros_like(rc_corr), rc_corr)
-            phis[0] = phis[0] + d0
-            d_prev = d0
-            for l in range(1, nlev):
-                # two-grid: seed the fine interior with the prolonged parent
-                # correction before re-smoothing
-                seed = _prolong_node_patch(geom, l, d_prev) * masks[l]
-                phis[l] = phis[l] + seed
-                vals = _interface_values(geom, l, phis[l - 1])
-                phis[l] = _set_interface(geom, l, phis[l], vals)
-                rl = (rhs_l[l] - nodal.nd_apply_raw(hiers[l][0], phis[l])
-                      ) * masks[l]
-                dl = nodal.v_cycle(hiers[l], jnp.zeros_like(rl), rl)
-                phis[l] = phis[l] + dl * masks[l]
-                d_prev = seed + dl * masks[l]
-            # slave covered coarse nodes to fine coincident values
-            for l in range(nlev - 2, -1, -1):
-                fine_vals = phis[l + 1][fine_node_window(l)]
-                phis[l] = phis[l].at[covered_nodes(l)].set(fine_vals)
-            if singular:
-                m = jnp.mean(phis[0])
-                phis = [p - m for p in phis]
-        # convergence metric: fine-level residual + uncovered coarse residual
-        rn = jnp.max(jnp.abs((rhs_l[nlev - 1] -
-                              nodal.nd_apply_raw(hiers[nlev - 1][0],
-                                                 phis[nlev - 1]))
-                             * masks[nlev - 1]))
+        phis = set_interfaces(list(phis))
+        d = comp_correction(comp_residuals(phis))
+        phis = [p + di for p, di in zip(phis, d)]
+        phis = set_interfaces(phis)
+        phis = slave(phis)
+        if singular:
+            m = jnp.mean(phis[0])
+            phis = [p - m for p in phis]
+        rn = resnorm(comp_residuals(phis))
         return tuple(phis), k + 1, rn
+
+    bnorm = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
 
     def cond(carry):
         _, k, rn = carry
-        bnorm = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
         return jnp.logical_and(k < max_outer, rn > rel_eps * bnorm)
 
     init = (tuple(phis), jnp.array(0), jnp.asarray(jnp.inf, sim.dtype))
     phis, _, rn = jax.lax.while_loop(cond, body, init)
-    return list(phis), rn
+    return list(set_interfaces(list(phis))), rn
 
 
 def _prolong_node_patch(geom: MLGeom, lev, dc):
@@ -526,17 +618,3 @@ def _prolong_node_patch(geom: MLGeom, lev, dc):
         i = spec.lo[d] - 2 * pspec.lo[d]
         sl.append(slice(i, i + fn))
     return up[tuple(sl)]
-
-
-def nodal_restrict_window(res_f, geom: MLGeom, lev):
-    """P^T-restrict a fine nodal residual onto the coincident coarse nodes of
-    covered_nodes(lev)."""
-    dm = geom.dm
-    pm = [geom.side_kind(lev + 1, d, 0) == "per" for d in range(dm)]
-    r = nodal._restrict(res_f, pm, dm)
-    sl = []
-    for d in range(dm):
-        lo = 1 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
-        hi = r.shape[d] - (1 if geom.side_kind(lev + 1, d, 1) == "cf" else 0)
-        sl.append(slice(lo, hi))
-    return r[tuple(sl)]

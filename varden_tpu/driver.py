@@ -38,6 +38,7 @@ class Varden:
             for pt in (projection.REGULAR_TIMESTEP, projection.PRESSURE_ITERS)
         }
         self._hints = None
+        self._ml_hints = None     # per-level projection warm starts
         self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
         self._initial_proj = jax.jit(self._initial_projection_impl)
 
@@ -47,15 +48,27 @@ class Varden:
         key = (tuple(self.geom.specs), proj_type)
         if key not in self._ml_cache:
             geom = self.geom
-            self._ml_cache[key] = jax.jit(functools.partial(
-                advance_ml.ml_advance, geom, proj_type=proj_type))
+            self._ml_cache[key] = jax.jit(
+                lambda states, dt, hints, _g=geom, _pt=proj_type:
+                    advance_ml.ml_advance(_g, states, dt, _pt, hints=hints))
         return self._ml_cache[key]
+
+    def _zero_ml_hints(self):
+        from .solvers import nodal
+        sim, geom = self.sim, self.geom
+        pm = [[geom.side_kind(l, d, 0) == "per" for d in range(sim.dm)]
+              for l in range(geom.nlev)]
+        return {
+            "phi_mac": [jnp.zeros(s.n, sim.dtype) for s in geom.specs],
+            "phi_hg": [jnp.zeros(nodal.node_shape(geom.specs[l].n, pm[l]),
+                                 sim.dtype) for l in range(geom.nlev)],
+        }
 
     # ------------------------------------------------------------------
     def _initial_projection_impl(self, state: State) -> State:
         """Constant-density initial projection (varden.f90:126-138)."""
         rhohalf = jnp.ones_like(state.s[0])
-        u, p, gp, _phi = projection.hgproject(
+        u, p, gp, _phi, _rn = projection.hgproject(
             self.sim, projection.INITIAL_PROJECTION, state.u, state.u,
             rhohalf, state.p, state.gp, 1.0)
         return State(u=u, s=state.s, gp=jnp.zeros_like(gp),
@@ -75,7 +88,7 @@ class Varden:
         if cfg.do_initial_projection > 0:
             def iproj(states):
                 rhohalf = [jnp.ones_like(st.s[0]) for st in states]
-                u, p, gp = advance_ml.hgproject_ml(
+                u, p, gp, _phi = advance_ml.hgproject_ml(
                     self.geom, projection.INITIAL_PROJECTION,
                     [st.u for st in states], [st.u for st in states],
                     rhohalf, [st.p for st in states],
@@ -93,8 +106,12 @@ class Varden:
         if cfg.stop_time >= 0.0:
             self.dt = min(self.dt, cfg.stop_time - self.time)
         for _ in range(cfg.init_iter):
-            st2, _diag = self._ml_step_fn(projection.PRESSURE_ITERS)(
-                states, self.dt)
+            if self._ml_hints is None:
+                self._ml_hints = self._zero_ml_hints()
+            st2, diag = self._ml_step_fn(projection.PRESSURE_ITERS)(
+                states, self.dt, self._ml_hints)
+            self._ml_hints = {"phi_mac": diag["phi_mac"],
+                              "phi_hg": diag["phi_hg"]}
             states = [State(u=states[l].u, s=states[l].s,
                             gp=st2[l].gp, p=st2[l].p)
                       for l in range(len(states))]
@@ -113,6 +130,7 @@ class Varden:
                 states = regrid_mod.build_level_data(self.sim, self.geom,
                                                      states, new_specs)
                 self.geom = MLGeom(self.sim, new_specs)
+                self._ml_hints = None  # shapes changed; cold-start solves
                 if cfg.grids_file_name:
                     regrid_mod.write_grids(cfg.grids_file_name, self.geom,
                                            self.istep)
@@ -125,8 +143,12 @@ class Varden:
                 self.dt = cfg.fixed_dt
             if cfg.stop_time >= 0.0 and self.time + self.dt > cfg.stop_time:
                 self.dt = cfg.stop_time - self.time
+        if self._ml_hints is None:
+            self._ml_hints = self._zero_ml_hints()
         states, diag = self._ml_step_fn(projection.REGULAR_TIMESTEP)(
-            states, self.dt)
+            states, self.dt, self._ml_hints)
+        self._ml_hints = {"phi_mac": diag["phi_mac"],
+                          "phi_hg": diag["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
         print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
@@ -146,11 +168,15 @@ class Varden:
         else:
             states = self.initialize_ml()
 
-        def write(states):
-            if cfg.plot_int > 0 and self.istep % cfg.plot_int == 0:
+        def write(states, final=False):
+            due_p = cfg.plot_int > 0 and self.istep % cfg.plot_int == 0
+            due_c = cfg.chk_int > 0 and self.istep % cfg.chk_int == 0
+            # a run ending off-cadence still writes its final state
+            # (varden.f90:378)
+            if due_p or (final and cfg.plot_int > 0):
                 output.write_plotfile_ml(self.geom, states, self.istep,
                                          self.time)
-            if cfg.chk_int > 0 and self.istep % cfg.chk_int == 0:
+            if due_c or (final and cfg.chk_int > 0):
                 output.write_checkpoint_ml(self.geom, states, self.istep,
                                            self.time, self.dt)
 
@@ -159,7 +185,10 @@ class Varden:
         while self.istep < max_step and (cfg.stop_time < 0.0 or
                                          self.time < cfg.stop_time - 1e-14):
             states = self.step_ml(states)
-            write(states)
+            last = not (self.istep < max_step and
+                        (cfg.stop_time < 0.0 or
+                         self.time < cfg.stop_time - 1e-14))
+            write(states, final=last)
         self.final_states = states
         return states
 
@@ -224,6 +253,11 @@ class Varden:
                       f"{float(diag['u_post_max'][d]):17.10e}")
             print(f"... new min/max : density {float(diag['smin']):17.10e} "
                   f"{float(diag['smax']):17.10e}")
+        if cfg.mg_verbose >= 1 and "mac_resnorm" in diag:
+            # final solver residuals (stagnation-cut exits are visible here;
+            # the reference's mg_verbose solver diagnostics role)
+            print(f"... solver resnorm: MAC {float(diag['mac_resnorm']):12.5e}"
+                  f"  HG {float(diag['hg_resnorm']):12.5e}")
             try:  # per-step device memory stats (varden.f90:365 analogue)
                 stats = jax.devices()[0].memory_stats() or {}
                 if stats:
@@ -264,17 +298,24 @@ class Varden:
         while self.istep < max_step and (cfg.stop_time < 0.0 or
                                          self.time < cfg.stop_time - 1e-14):
             state = self.step(state)
-            writers(self, state)
+            last = not (self.istep < max_step and
+                        (cfg.stop_time < 0.0 or
+                         self.time < cfg.stop_time - 1e-14))
+            writers(self, state, final=last)
         return state
 
     def _io_writers(self):
         from .io import output
 
-        def write(v, state):
+        def write(v, state, final=False):
             cfg = v.cfg
-            if cfg.plot_int > 0 and v.istep % cfg.plot_int == 0:
+            due_p = cfg.plot_int > 0 and v.istep % cfg.plot_int == 0
+            due_c = cfg.chk_int > 0 and v.istep % cfg.chk_int == 0
+            # forced final-step write when the run ends off-cadence
+            # (varden.f90:378)
+            if due_p or (final and cfg.plot_int > 0):
                 output.write_plotfile(v.sim, state, v.istep, v.time, v.dt)
-            if cfg.chk_int > 0 and v.istep % cfg.chk_int == 0:
+            if due_c or (final and cfg.chk_int > 0):
                 output.write_checkpoint(v.sim, state, v.istep, v.time, v.dt,
                                         hints=v._hints)
         return write

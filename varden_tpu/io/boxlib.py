@@ -12,12 +12,16 @@ Fortran order (x fastest), so bytes are written from the transposed view.
 from __future__ import annotations
 
 import os
+import sys
 from typing import List, Sequence
 
 import numpy as np
 
-_FAB_HEADER = ("FAB ((8, (64 11 52 0 1 12 0 1023)),"
-               "(8, (1 2 3 4 5 6 7 8)))")
+# IEEE float64 descriptor + byte order of the bytes actually written (native):
+# AMReX/FBoxLib emit "(8 7 6 5 4 3 2 1)" on little-endian x86.
+_ORDER = ("(8, (8 7 6 5 4 3 2 1))" if sys.byteorder == "little"
+          else "(8, (1 2 3 4 5 6 7 8))")
+_FAB_HEADER = f"FAB ((8, (64 11 52 0 1 12 0 1023)),{_ORDER})"
 
 
 def _box_str(lo, hi):
@@ -40,7 +44,8 @@ def write_multifab(level_dir: str, data: np.ndarray, lo=None):
     os.makedirs(level_dir, exist_ok=True)
 
     fab_path = os.path.join(level_dir, "Cell_D_00000")
-    hdr = f"{_FAB_HEADER}(({_box_str(lo, hi)}) {ncomp})\n"
+    # AMReX FAB header line: "FAB (...)((lo) (hi) (type)) ncomp"
+    hdr = f"{_FAB_HEADER}({_box_str(lo, hi)}) {ncomp}\n"
     from . import native
     if not native.write_fab(fab_path, hdr, np.asarray(data, np.float64)):
         with open(fab_path, "wb") as f:

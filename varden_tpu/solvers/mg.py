@@ -5,7 +5,7 @@ mac_multigrid wrapper (src/mac_multigrid.f90:53-62): solves
     (alpha * aco - div(beta grad)) phi = rhs
 with face-centered beta, supporting periodic / Neumann / Dirichlet(face-value)
 boundaries at stencil_order=2 (quadratic boundary flux), V-cycles with
-red-black Gauss-Seidel smoothing and a BiCGStab bottom solver.
+red-black Gauss-Seidel smoothing and a dense direct (MXU) bottom solve.
 
 Everything is functional jnp on dense per-level arrays; the V-cycle level loop
 is unrolled at trace time (static hierarchy), the outer tolerance loop is a
@@ -284,46 +284,6 @@ def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
             r = rhs - cc_apply(level, phi, bvals)
             phi = phi + mask * r * inv_diag
     return phi
-
-
-def bicgstab(apply_fn, rhs, x0, tol, max_iter=100):
-    """Unpreconditioned BiCGStab (bottom solver), jit-friendly."""
-    dtype = rhs.dtype
-
-    def dot(a, b):
-        return jnp.sum(a * b)
-
-    r0 = rhs - apply_fn(x0)
-    bnorm = jnp.linalg.norm(rhs.ravel())
-    state = dict(x=x0, r=r0, rhat=r0, p=r0,
-                 rho=dot(r0, r0), k=jnp.array(0), done=jnp.array(False))
-
-    def cond(st):
-        return jnp.logical_and(st["k"] < max_iter, jnp.logical_not(st["done"]))
-
-    def body(st):
-        v = apply_fn(st["p"])
-        denom = dot(st["rhat"], v)
-        alpha = st["rho"] / jnp.where(denom == 0, 1.0, denom)
-        alpha = jnp.where(denom == 0, 0.0, alpha)
-        s = st["r"] - alpha * v
-        t = apply_fn(s)
-        tt = dot(t, t)
-        omega = dot(t, s) / jnp.where(tt == 0, 1.0, tt)
-        omega = jnp.where(tt == 0, 0.0, omega)
-        x = st["x"] + alpha * st["p"] + omega * s
-        r = s - omega * t
-        rho_new = dot(st["rhat"], r)
-        beta = (rho_new / jnp.where(st["rho"] == 0, 1.0, st["rho"])) * \
-               (alpha / jnp.where(omega == 0, 1.0, omega))
-        p = r + beta * (st["p"] - omega * v)
-        rnorm = jnp.linalg.norm(r.ravel())
-        done = rnorm <= tol * jnp.maximum(bnorm, jnp.asarray(1e-300, dtype))
-        return dict(x=x, r=r, rhat=st["rhat"], p=p, rho=rho_new,
-                    k=st["k"] + 1, done=done)
-
-    out = jax.lax.while_loop(cond, body, state)
-    return out["x"]
 
 
 def bottom_dense_solve(level: CCLevel, r, singular: bool):

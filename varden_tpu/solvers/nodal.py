@@ -14,7 +14,7 @@ constant sigma = 1/rho — the FEM "dense" stencil. Boundary handling:
 
 Multigrid uses weighted-Jacobi smoothing, P^T restriction / linear-interp
 prolongation (for nested FEM spaces P^T A P reproduces the rediscretized
-coarse operator), and a BiCGStab bottom solver.
+coarse operator), and a dense direct (MXU) bottom solve.
 """
 from __future__ import annotations
 
@@ -223,6 +223,67 @@ def _factored_apply(phi, sigma, dx, pmask, dm):
     return out
 
 
+def _pad_node(phi, pmask, dm):
+    """Pad a node array with one ghost per axis: periodic wrap, else zero
+    (physical-side coefficients are exactly zero, so the value is unread)."""
+    for d in range(dm):
+        axis = phi.ndim - dm + d
+
+        def take(i0, i1):
+            sl = [slice(None)] * phi.ndim
+            sl[axis] = slice(i0, i1)
+            return phi[tuple(sl)]
+
+        if pmask[d]:
+            lo, hi = take(-1, None), take(0, 1)
+        else:
+            shape = list(phi.shape)
+            shape[axis] = 1
+            lo = jnp.zeros(shape, phi.dtype)
+            hi = jnp.zeros(shape, phi.dtype)
+        phi = jnp.concatenate([lo, phi, hi], axis=axis)
+    return phi
+
+
+def _sigma_np(sigma, pmask, dm):
+    """Shifted-padded cell sigma: out[k] = sigma_cell[k-1] over the node
+    range (N+1 entries per axis), wrapping on periodic axes, zero outside."""
+    for d in range(dm):
+        axis = sigma.ndim - dm + d
+
+        def take(i0, i1):
+            sl = [slice(None)] * sigma.ndim
+            sl[axis] = slice(i0, i1)
+            return sigma[tuple(sl)]
+
+        if pmask[d]:
+            sigma = jnp.concatenate([take(-1, None), sigma], axis=axis)
+        else:
+            shape = list(sigma.shape)
+            shape[axis] = 1
+            z = jnp.zeros(shape, sigma.dtype)
+            sigma = jnp.concatenate([z, sigma, z], axis=axis)
+    return sigma
+
+
+def _pallas_nodal(level: "NodalLevel", phi, rhs, omega, emit):
+    """Fused Pallas pass (apply or jacobi); None when unsupported."""
+    from ..ops import pallas_kernels as pk
+    if not pk.nodal_supported(level):
+        return None
+    K = element_matrix(level.dx)
+    phi_pad = _pad_node(phi, level.pmask, level.dm)
+    sig_np = _sigma_np(level.sigma, level.pmask, level.dm)
+    if emit == "jacobi":
+        diag = level.diag
+        inv = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    else:
+        rhs = jnp.zeros_like(phi) if rhs is None else rhs
+        inv = rhs  # unread in apply mode
+    return pk.nodal_sweep_3d(phi_pad, sig_np, rhs, inv, K, omega=omega,
+                             emit=emit)
+
+
 def nd_apply_raw(level: NodalLevel, phi):
     """Operator apply WITHOUT masking phi — used when boundary nodes carry
     inhomogeneous (coarse-interpolated) values in composite solves."""
@@ -232,7 +293,10 @@ def nd_apply_raw(level: NodalLevel, phi):
 def nd_apply(level: NodalLevel, phi):
     if level.mask is not None:
         phi = phi * level.mask
-    out = _factored_apply(phi, level.sigma, level.dx, level.pmask, level.dm)
+    out = _pallas_nodal(level, phi, None, 0.0, "apply")
+    if out is None:
+        out = _factored_apply(phi, level.sigma, level.dx, level.pmask,
+                              level.dm)
     if level.mask is not None:
         out = out * level.mask
     return out
@@ -265,9 +329,18 @@ def node_diag(sigma, dx, pmask, dm):
 
 
 def jacobi(level: NodalLevel, phi, rhs, nsweeps, omega=JACOBI_OMEGA):
+    done = 0
+    if level.mask is None:
+        # fused Pallas weighted-Jacobi (phi/sigma/rhs read once per sweep)
+        for _ in range(nsweeps):
+            out = _pallas_nodal(level, phi, rhs, omega, "jacobi")
+            if out is None:
+                break
+            phi = out
+            done += 1
     diag = level.diag
     inv = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
-    for _ in range(nsweeps):
+    for _ in range(nsweeps - done):
         r = rhs - nd_apply(level, phi)
         upd = omega * r * inv
         if level.mask is not None:

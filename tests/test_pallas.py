@@ -81,3 +81,60 @@ def test_gsrb_2d_fused_matches_unfused():
     lphi = mg.apply_padded(pad2, aco, beta, 0.0, dx, 2)
     phi_ref = phi + black * (rhs - lphi) / level.diag
     assert np.max(np.abs(np.array(fused - phi_ref))) < 1e-11
+
+
+def _nodal_level(n, pmask, seed=2):
+    from varden_tpu.solvers import nodal
+    rng = np.random.RandomState(seed)
+    dx = tuple(0.1 + 0.02 * d for d in range(len(n)))
+    sigma = jnp.asarray(0.5 + rng.rand(*n))
+    diag = nodal.node_diag(sigma, dx, pmask, len(n))
+    return nodal.NodalLevel(tuple(n), dx, tuple(pmask), sigma, diag, None), rng
+
+
+def test_nodal_pallas_apply_matches_factored():
+    """Fused nodal FEM apply (interpret mode) == the factored jnp apply,
+    mixed periodic/physical axes including an odd (n+1) first-axis node
+    count exercising the pad-and-slice path."""
+    from varden_tpu.solvers import nodal
+    from varden_tpu.solvers.nodal import _pad_node, _sigma_np, element_matrix
+
+    for pmask in [(True, True, True), (False, False, False),
+                  (True, False, True)]:
+        n = (8, 8, 8)
+        level, rng = _nodal_level(n, pmask)
+        ns = nodal.node_shape(n, pmask)
+        phi = jnp.asarray(rng.rand(*ns) - 0.5)
+
+        ref = nodal._factored_apply(phi, level.sigma, level.dx, pmask, 3)
+        K = element_matrix(level.dx)
+        out = pk.nodal_sweep_3d(_pad_node(phi, pmask, 3),
+                                _sigma_np(level.sigma, pmask, 3),
+                                jnp.zeros_like(phi), jnp.zeros_like(phi), K,
+                                emit="apply", interpret=True)
+        assert out is not None
+        err = np.max(np.abs(np.array(out - ref)))
+        assert err < 1e-11, f"pmask={pmask}: {err}"
+
+
+def test_nodal_pallas_jacobi_matches_unfused():
+    from varden_tpu.solvers import nodal
+    from varden_tpu.solvers.nodal import _pad_node, _sigma_np, element_matrix
+
+    pmask = (False, True, False)
+    n = (8, 8, 8)
+    level, rng = _nodal_level(n, pmask, seed=3)
+    ns = nodal.node_shape(n, pmask)
+    phi = jnp.asarray(rng.rand(*ns) - 0.5)
+    rhs = jnp.asarray(rng.rand(*ns) - 0.5)
+    omega = 0.85
+
+    inv = 1.0 / level.diag
+    ref = phi + omega * (rhs - nodal.nd_apply(level, phi)) * inv
+
+    K = element_matrix(level.dx)
+    out = pk.nodal_sweep_3d(_pad_node(phi, pmask, 3),
+                            _sigma_np(level.sigma, pmask, 3),
+                            rhs, inv, K, omega=omega, emit="jacobi",
+                            interpret=True)
+    assert np.max(np.abs(np.array(out - ref))) < 1e-11

@@ -51,26 +51,38 @@ def vel_slopes_3d(u, adv_bc_vel, ng, n_cell, slope_order):
 
 def velpred_3d(u: jnp.ndarray, force: jnp.ndarray, dt, dx: Sequence[float],
                phys_bc, adv_bc_vel, ng: int, n_cell: Sequence[int],
-               slope_order: int, use_minion: bool, slopes=None
+               slope_order: int, use_minion: bool, slopes=None,
+               bc_sides=None, eps=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """u, force: (3, Nx, Ny, Nz) ghost-padded. Returns interior MAC faces."""
+    """u, force: (3, Nx, Ny, Nz) ghost-padded. Returns interior MAC faces.
+
+    ``bc_sides`` restricts physical-boundary treatment to the given
+    (axis, side) pairs (None = all); the Pallas tile path uses this to run
+    pure interior math along tiled axes (boundary slabs are recomputed with
+    full treatment and spliced). ``eps`` overrides the Riemann tie epsilon
+    (the tile path passes the globally-reduced value).
+    """
     dm = 3
     dt2, dt4, dt6 = 0.5 * dt, 0.25 * dt, dt / 6.0
 
-    umax = jnp.max(jnp.abs(u[:, ng:ng + n_cell[0], ng:ng + n_cell[1],
-                           ng:ng + n_cell[2]]))
-    eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
+    if eps is None:
+        umax = jnp.max(jnp.abs(u[:, ng:ng + n_cell[0], ng:ng + n_cell[1],
+                               ng:ng + n_cell[2]]))
+        eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
 
     uw = [full(u[c], dm) for c in range(dm)]
     fw = [full(force[c], dm) for c in range(dm)]
     if slopes is None:
         slopes = vel_slopes_3d(u, adv_bc_vel, ng, n_cell, slope_order)
 
+    def skip_bc(axis, side):
+        return bc_sides is not None and (axis, side) not in bc_sides
+
     def apply_face_bc(l, r, axis):
         """velpred.f90:1074-1105-style overrides on hat states (all comps)."""
         for side, fidx in ((0, ng), (1, ng + n_cell[axis])):
             pb = phys_bc[axis][side]
-            if pb == PERIODIC:
+            if pb == PERIODIC or skip_bc(axis, side):
                 continue
             gidx = fidx - 1 if side == 0 else fidx
             for c in range(dm):
@@ -131,7 +143,7 @@ def velpred_3d(u: jnp.ndarray, force: jnp.ndarray, dt, dx: Sequence[float],
         INLET -> ghost value; SLIP_WALL/OUTLET -> copy inner; NO_SLIP -> 0."""
         for side, fidx in ((0, ng), (1, ng + n_cell[axis])):
             pb = phys_bc[axis][side]
-            if pb == PERIODIC:
+            if pb == PERIODIC or skip_bc(axis, side):
                 continue
             gidx = fidx - 1 if side == 0 else fidx
             lv = l.plane(axis, fidx)
@@ -183,7 +195,7 @@ def velpred_3d(u: jnp.ndarray, force: jnp.ndarray, dt, dx: Sequence[float],
         mac = _riemann_normal_w(macl, macr, eps)
         for side, fidx in ((0, ng), (1, ng + n_cell[nrm])):
             pb = phys_bc[nrm][side]
-            if pb == PERIODIC:
+            if pb == PERIODIC or skip_bc(nrm, side):
                 continue
             if pb in (SLIP_WALL, NO_SLIP_WALL, SYMMETRY):
                 val = mac.plane(nrm, fidx).zeros_like()
@@ -219,7 +231,7 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
               dx: Sequence[float], phys_bc, adv_bc, ng: int,
               n_cell: Sequence[int], is_vel: bool,
               is_conservative: Sequence[bool], slope_order: int,
-              use_minion: bool, slopes=None):
+              use_minion: bool, slopes=None, bc_sides=None, eps=None):
     """Edge states & fluxes on all three face sets.
 
     s/force: (nc, N...) padded; mac_rhs: (N...) padded; mac_pads: cell-aligned
@@ -234,8 +246,12 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
 
     macw = mac_wins(mac_pads, ng, n_cell)
 
-    umax = jnp.max(jnp.stack([jnp.max(jnp.abs(m.arr)) for m in macw]))
-    eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
+    if eps is None:
+        umax = jnp.max(jnp.stack([jnp.max(jnp.abs(m.arr)) for m in macw]))
+        eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
+
+    def skip_bc(axis, side):
+        return bc_sides is not None and (axis, side) not in bc_sides
 
     sw = [full(s[c], dm) for c in range(nc)]
     fw = [full(force[c], dm) for c in range(nc)]
@@ -254,7 +270,7 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
         full hat-state rules (clamp=True) or the final-edge variant."""
         for side, fidx in ((0, ng), (1, ng + n_cell[axis])):
             pb = phys_bc[axis][side]
-            if pb == PERIODIC:
+            if pb == PERIODIC or skip_bc(axis, side):
                 continue
             gidx = fidx - 1 if side == 0 else fidx
             sg = sc.plane(axis, gidx, as_coord=fidx)
@@ -364,7 +380,7 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
             # final boundary overrides (pick inner state / clamp / zero)
             for side, fidx in ((0, ng), (1, ng + n_cell[a])):
                 pb = phys_bc[a][side]
-                if pb == PERIODIC:
+                if pb == PERIODIC or skip_bc(a, side):
                     continue
                 gidx = fidx - 1 if side == 0 else fidx
                 inner = (er if side == 0 else el).plane(a, fidx)

@@ -94,6 +94,21 @@ def _gsrb_kernel_3d(phi_ref, rhs_ref, inv_diag_ref, bx_ref, by_ref, bz_ref,
     out_ref[...] = new_int + (1.0 - red) * r * inv_diag
 
 
+def _gsrb3d_block_bytes(tx, n):
+    """f32 VMEM bytes of one grid block's operands (phi haloed tile, rhs,
+    inv_diag, aco, out, three face-coefficient tiles), counted with TPU
+    tile padding: last dim rounds to 128 lanes, second-to-last to 8
+    sublanes."""
+    def sz(a, b, c):
+        return a * ((b + 7) // 8 * 8) * ((c + 127) // 128 * 128)
+    phi = sz(tx + 2, n[1] + 2, n[2] + 2)
+    cell = sz(tx, n[1], n[2])          # rhs / inv_diag / aco / out
+    bx = sz(tx + 1, n[1], n[2])
+    by = sz(tx, n[1] + 1, n[2])
+    bz = sz(tx, n[1], n[2] + 1)
+    return 4 * (phi + 4 * cell + bx + by + bz)
+
+
 def gsrb_sweep_3d(phi_pad, rhs, inv_diag, beta, dx, aco=None, alpha=0.0,
                   *, interpret=False):
     """One fused red-black sweep. phi_pad: (n+2)^3 with ghosts realized;
@@ -108,15 +123,13 @@ def gsrb_sweep_3d(phi_pad, rhs, inv_diag, beta, dx, aco=None, alpha=0.0,
 
     # Tile the FIRST axis only; the last two block dims must equal the full
     # array dims (TPU lowering constraint for unaligned windows). VMEM per
-    # block ~ (TX+2) * (n1+2) * (n2+2) * 4B * ~8 operands, DOUBLE-BUFFERED
-    # by the pipeline -> keep the estimate under ~4MB of the 16MB budget.
+    # block counted per operand, DOUBLE-BUFFERED by the pipeline -> keep
+    # under ~6MB of the 16MB budget.
     TX = None
     for t in (32, 16, 8, 4, 2, 1):
-        if n[0] % t == 0:
-            vmem = (t + 2) * (n[1] + 2) * (n[2] + 2) * 4 * 8
-            if vmem < 4 * 1024 * 1024:
-                TX = t
-                break
+        if n[0] % t == 0 and _gsrb3d_block_bytes(t, n) < 6 * 1024 * 1024:
+            TX = t
+            break
     if TX is None:
         return None  # caller falls back to the unfused path
     grid = (n[0] // TX,)
@@ -215,9 +228,148 @@ def gsrb_supported(level) -> bool:
     if any(s < 8 or s % 2 for s in level.n):
         return False
     if level.dm == 3:
-        # tangential plane must fit VMEM with double buffering
-        vmem = 3 * (level.n[1] + 2) * (level.n[2] + 2) * 4 * 8
-        return vmem < 4 * 1024 * 1024
+        # a TX=1 block must fit VMEM (with pipeline double buffering)
+        return _gsrb3d_block_bytes(1, level.n) < 6 * 1024 * 1024
     # whole 2-D grid (plus halo) must fit one VMEM block
     vmem = (level.n[0] + 2) * (level.n[1] + 2) * 4 * 8
     return vmem < 8 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Nodal (FEM dense-stencil) kernels
+# ---------------------------------------------------------------------------
+
+def _nodal_kernel_3d(phi_ref, sig_ref, rhs_ref, inv_diag_ref, out_ref, *,
+                     K, omega, emit):
+    """Fused nodal FEM operator pass on one haloed tile.
+
+    phi_ref: (TX+2, N1+2, N2+2) node tile with ghosts realized (periodic
+    wrap / zero). sig_ref: (TX+1, N1+1, N2+1) cell sigma with sig[k] =
+    sigma_cell[k-1] (zero/wrap outside). A phi at node i is computed
+    in-kernel as sum over the 8 adjacent cells c of sigma_c times the
+    element-stiffness combination of that cell's 8 nodal phi values — the
+    ND_DENSE stencil (hg_multigrid.f90 / nodal_stencil) with nothing
+    materialized but phi and sigma.
+
+    emit: 'jacobi' -> phi + omega*(rhs - A phi)/diag;  'apply' -> A phi.
+    """
+    phi = phi_ref[...]
+    sig = sig_ref[...]
+    tx = out_ref.shape[0]
+    n1 = out_ref.shape[1]
+    n2 = out_ref.shape[2]
+
+    acc = None
+    for c0 in (0, 1):
+        for c1 in (0, 1):
+            for c2 in (0, 1):
+                sc = sig[c0:c0 + tx, c1:c1 + n1, c2:c2 + n2]
+                li = (1 - c0, 1 - c1, 1 - c2)
+                inner = None
+                for j0 in (0, 1):
+                    for j1 in (0, 1):
+                        for j2 in (0, 1):
+                            w = float(K[li + (j0, j1, j2)])
+                            p = phi[c0 + j0:c0 + j0 + tx,
+                                    c1 + j1:c1 + j1 + n1,
+                                    c2 + j2:c2 + j2 + n2]
+                            term = w * p
+                            inner = term if inner is None else inner + term
+                term = sc * inner
+                acc = term if acc is None else acc + term
+
+    if emit == "apply":
+        out_ref[...] = acc
+    else:
+        center = phi[1:-1, 1:-1, 1:-1]
+        out_ref[...] = center + omega * (rhs_ref[...] - acc) * inv_diag_ref[...]
+
+
+def _nodal3d_block_bytes(tx, ns):
+    """Estimated VMEM bytes for one grid block: operands plus kernel stack.
+    Mosaic materializes each of the 27 shifted phi views as a full
+    (tx, n1, n2) slab (measured: 29M stack at tx=8, n=129 → ~26 live
+    slabs), so the stack term dominates."""
+    def sz(a, b, c):
+        return a * ((b + 7) // 8 * 8) * ((c + 127) // 128 * 128)
+    phi = sz(tx + 2, ns[1] + 2, ns[2] + 2)
+    sig = sz(tx + 1, ns[1] + 1, ns[2] + 1)
+    cell = sz(tx, ns[1], ns[2])        # rhs / inv_diag / out
+    stack = 27 * cell
+    return 4 * (phi + sig + 3 * cell + stack)
+
+
+def nodal_sweep_3d(phi_pad, sig_np, rhs, inv_diag, K, omega=0.85,
+                   emit="jacobi", *, interpret=False):
+    """One fused nodal pass. phi_pad: (N+2) node array with ghosts;
+    sig_np: (N+1) shifted-padded cell sigma; returns N-node array.
+
+    The first axis is tiled; when the node count is not a TX multiple
+    (physical axes have n+1 nodes) the operands are zero-padded high — the
+    padded rows compute zeros that are sliced off."""
+    ns = rhs.shape
+    TX = None
+    for t in (16, 8, 4, 2, 1):
+        if _nodal3d_block_bytes(t, ns) < 14 * 1024 * 1024:
+            TX = t
+            break
+    if TX is None:
+        return None
+    n0p = -(-ns[0] // TX) * TX
+    if n0p != ns[0]:
+        ext = n0p - ns[0]
+
+        def padx(a, tot):
+            return jnp.concatenate(
+                [a, jnp.zeros((tot - a.shape[0],) + a.shape[1:], a.dtype)], 0)
+
+        phi_pad = padx(phi_pad, n0p + 2)
+        sig_np = padx(sig_np, n0p + 1)
+        rhs = padx(rhs, n0p)
+        inv_diag = padx(inv_diag, n0p)
+    grid = (n0p // TX,)
+    kern = functools.partial(_nodal_kernel_3d, K=K, omega=float(omega),
+                             emit=emit)
+
+    def espec(bs, stride):
+        return pl.BlockSpec(tuple(pl.Element(b) for b in bs),
+                            lambda i: (i * stride, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n0p,) + ns[1:], rhs.dtype),
+        grid=grid,
+        in_specs=[
+            espec((TX + 2, ns[1] + 2, ns[2] + 2), TX),
+            espec((TX + 1, ns[1] + 1, ns[2] + 1), TX),
+            espec((TX, ns[1], ns[2]), TX),
+            espec((TX, ns[1], ns[2]), TX),
+        ],
+        out_specs=pl.BlockSpec((TX, ns[1], ns[2]), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phi_pad, sig_np, rhs, inv_diag)
+    return out[:ns[0]] if n0p != ns[0] else out
+
+
+def nodal_supported(level) -> bool:
+    """Pallas nodal path available? (3-D, unmasked, big enough, on TPU).
+
+    OPT-IN (VARDEN_PALLAS_NODAL=1): measured on v5e at 128^3 f32 the fused
+    dense-FEM sweep is ~9% SLOWER end-to-end than the factored XLA apply
+    (58.7 -> 53.3 Mcells/s full-step) — the 64-term per-node stencil is
+    VPU-bound while the factored form needs ~3x fewer FLOPs. Kept (with
+    interpret-mode equivalence tests) as the starting point for a factored
+    in-kernel variant."""
+    if not os.environ.get("VARDEN_PALLAS_NODAL"):
+        return False
+    if not HAVE_PALLAS or jax.default_backend() != "tpu":
+        return False
+    if level.dm != 3 or level.mask is not None:
+        return False
+    ns = tuple(level.n[d] if level.pmask[d] else level.n[d] + 1
+               for d in range(3))
+    if any(s < 8 for s in ns):
+        return False
+    return _nodal3d_block_bytes(1, ns) < 14 * 1024 * 1024

@@ -74,3 +74,40 @@ def test_fab_header_is_valid_amrex(tmp_path):
     expect = ("FAB ((8, (64 11 52 0 1 12 0 1023)),(8, " + order + "))"
               "((0,0) (7,7) (0,0)) 2")
     assert hdr == expect
+
+
+def test_read_multifab_multibox(tmp_path):
+    """The reader assembles a reference-layout multi-box multifab (two FABs
+    in one data file at different offsets) onto the bounding box."""
+    from varden_tpu.io import boxlib
+    d = tmp_path / "L0"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    b1 = rng.rand(2, 4, 6)   # box (0,0)-(3,5)
+    b2 = rng.rand(2, 4, 6)   # box (4,2)-(7,7)
+
+    def fab_bytes(data, lo, hi):
+        hdr = (f"{boxlib._FAB_HEADER}({boxlib._box_str(lo, hi)}) "
+               f"{data.shape[0]}\n")
+        arr = np.ascontiguousarray(np.stack([data[c].T
+                                             for c in range(data.shape[0])]))
+        return hdr.encode() + arr.tobytes()
+
+    blob1 = fab_bytes(b1, [0, 0], [3, 5])
+    blob2 = fab_bytes(b2, [4, 2], [7, 7])
+    with open(d / "Cell_D_00000", "wb") as f:
+        f.write(blob1 + blob2)
+    with open(d / "Cell_H", "w") as f:
+        f.write("1\n1\n2\n0\n")
+        f.write("(2 0\n")
+        f.write(f"({boxlib._box_str([0, 0], [3, 5])})\n")
+        f.write(f"({boxlib._box_str([4, 2], [7, 7])})\n")
+        f.write(")\n2\n")
+        f.write("FabOnDisk: Cell_D_00000 0\n")
+        f.write(f"FabOnDisk: Cell_D_00000 {len(blob1)}\n")
+
+    arr, lo, nodal = boxlib.read_multifab(str(d))
+    assert lo == [0, 0] and not nodal
+    assert arr.shape == (2, 8, 8)
+    assert np.allclose(arr[:, 0:4, 0:6], b1)
+    assert np.allclose(arr[:, 4:8, 2:8], b2)

@@ -24,28 +24,29 @@ _ORDER = ("(8, (8 7 6 5 4 3 2 1))" if sys.byteorder == "little"
 _FAB_HEADER = f"FAB ((8, (64 11 52 0 1 12 0 1023)),{_ORDER})"
 
 
-def _box_str(lo, hi):
+def _box_str(lo, hi, nodal=False):
     dm = len(lo)
-    t = ",".join("0" for _ in range(dm))
+    t = ",".join(("1" if nodal else "0") for _ in range(dm))
     return "({}) ({}) ({})".format(
         ",".join(str(i) for i in lo), ",".join(str(i) for i in hi), t)
 
 
-def write_multifab(level_dir: str, data: np.ndarray, lo=None):
+def write_multifab(level_dir: str, data: np.ndarray, lo=None,
+                   nodal: bool = False, prefix: str = "Cell"):
     """Write one dense grid as a single-FAB multifab (Cell_H + Cell_D_00000).
 
-    data: (ncomp, *n) float64, cell-centered.
-    """
+    data: (ncomp, *n) float64. ``nodal`` stamps the index type bits (data
+    then spans lo..hi inclusive on the node lattice: hi = lo + n - 1)."""
     ncomp = data.shape[0]
     n = data.shape[1:]
     dm = len(n)
     lo = lo or [0] * dm
-    hi = [lo[d] + n[d] - 1 for d in range(dm)]
+    hi = [lo[d] + n[d] - 1 - (1 if nodal else 0) for d in range(dm)]
     os.makedirs(level_dir, exist_ok=True)
 
-    fab_path = os.path.join(level_dir, "Cell_D_00000")
+    fab_path = os.path.join(level_dir, f"{prefix}_D_00000")
     # AMReX FAB header line: "FAB (...)((lo) (hi) (type)) ncomp"
-    hdr = f"{_FAB_HEADER}({_box_str(lo, hi)}) {ncomp}\n"
+    hdr = f"{_FAB_HEADER}({_box_str(lo, hi, nodal)}) {ncomp}\n"
     from . import native
     if not native.write_fab(fab_path, hdr, np.asarray(data, np.float64)):
         with open(fab_path, "wb") as f:
@@ -58,15 +59,82 @@ def write_multifab(level_dir: str, data: np.ndarray, lo=None):
 
     mins = [float(np.min(data[c])) for c in range(ncomp)]
     maxs = [float(np.max(data[c])) for c in range(ncomp)]
-    with open(os.path.join(level_dir, "Cell_H"), "w") as f:
+    with open(os.path.join(level_dir, f"{prefix}_H"), "w") as f:
         f.write("1\n1\n%d\n0\n" % ncomp)
-        f.write("(1 0\n(%s)\n)\n" % _box_str(lo, hi))
+        f.write("(1 0\n(%s)\n)\n" % _box_str(lo, hi, nodal))
         f.write("1\n")
-        f.write("FabOnDisk: Cell_D_00000 0\n")
+        f.write(f"FabOnDisk: {prefix}_D_00000 0\n")
         f.write("\n1,%d\n" % ncomp)
         f.write(",".join(f"{v:.16e}" for v in mins) + ",\n")
         f.write("\n1,%d\n" % ncomp)
         f.write(",".join(f"{v:.16e}" for v in maxs) + ",\n")
+
+
+def read_multifab(level_dir: str, prefix: str = "Cell"):
+    """General multifab reader: multi-FAB (multi-box) Cell_H with per-FAB
+    file/offset entries, assembled into one dense array over the bounding
+    box (the package's level representation).
+
+    Returns (arr (ncomp, *n), lo, nodal) where ``lo`` is the bbox smallend
+    and ``n`` spans the bbox (nodal boxes get their +1 point per axis)."""
+    with open(os.path.join(level_dir, f"{prefix}_H")) as f:
+        txt = f.read()
+    lines = [ln for ln in txt.split("\n")]
+    i = 0
+    _version = int(lines[i].split()[0]); i += 1
+    _how = int(lines[i].split()[0]); i += 1
+    ncomp = int(lines[i].split()[0]); i += 1
+    _ng = int(lines[i].split()[0]); i += 1
+    # BoxArray: "(N M" then N box lines then ")"
+    first = lines[i].strip()
+    assert first.startswith("("), f"bad boxarray line: {first!r}"
+    nbox = int(first.strip("(").split()[0]); i += 1
+    import re
+    box_re = re.compile(r"\(\(([^)]*)\)\s*\(([^)]*)\)\s*\(([^)]*)\)\)")
+    boxes = []
+    for _ in range(nbox):
+        m = box_re.search(lines[i]); i += 1
+        lo = [int(v) for v in m.group(1).split(",")]
+        hi = [int(v) for v in m.group(2).split(",")]
+        t = [int(v) for v in m.group(3).split(",")]
+        boxes.append((lo, hi, t))
+    assert lines[i].strip() == ")"; i += 1
+    nfab = int(lines[i].split()[0]); i += 1
+    fabs = []
+    for _ in range(nfab):
+        parts = lines[i].split(); i += 1
+        assert parts[0] == "FabOnDisk:"
+        fabs.append((parts[1], int(parts[2])))
+
+    dm = len(boxes[0][0])
+    nodal = boxes[0][2][0] == 1
+    ext = 1 if nodal else 0
+    blo = [min(b[0][d] for b in boxes) for d in range(dm)]
+    bhi = [max(b[1][d] for b in boxes) + 1 + ext for d in range(dm)]
+    n = tuple(bhi[d] - blo[d] for d in range(dm))
+    out = np.zeros((ncomp,) + n, np.float64)
+    from . import native
+    for (lo, hi, _t), (fname, off) in zip(boxes, fabs):
+        bn = tuple(hi[d] - lo[d] + 1 + ext for d in range(dm))
+        path = os.path.join(level_dir, fname)
+        with open(path, "rb") as f:
+            f.seek(off)
+            fhdr = f.readline().decode()
+            data_off = f.tell()
+        m = box_re.search(fhdr)
+        fnc = int(fhdr[m.end():].split()[0])
+        arr = native.read_fab(path, data_off, fnc, bn)
+        if arr is None:
+            with open(path, "rb") as f:
+                f.seek(data_off)
+                raw = np.frombuffer(
+                    f.read(8 * fnc * int(np.prod(bn))), np.float64)
+            arr = raw.reshape((fnc,) + tuple(reversed(bn)))
+            arr = np.stack([arr[c].T for c in range(fnc)])
+        sl = tuple(slice(lo[d] - blo[d], lo[d] - blo[d] + bn[d])
+                   for d in range(dm))
+        out[(slice(None),) + sl] = arr[:ncomp]
+    return out, blo, nodal
 
 
 def write_plotfile(name: str, sim, fields: np.ndarray,
@@ -129,40 +197,19 @@ def write_plotfile(name: str, sim, fields: np.ndarray,
 
 
 def read_plotfile(name: str):
-    """Read back a plotfile written by write_plotfile (and simple
-    single-grid-per-level BoxLib plotfiles generally). Returns
-    (field_names, time, [level arrays (ncomp, *n)])."""
+    """Read back a BoxLib/AMReX plotfile (multi-box levels assembled onto
+    their bounding boxes). Returns (field_names, time, [level arrays
+    (ncomp, *n)])."""
     with open(os.path.join(name, "Header")) as f:
         lines = [ln.rstrip("\n") for ln in f]
     i = 1
     ncomp = int(lines[i]); i += 1
     names = lines[i:i + ncomp]; i += ncomp
-    dm = int(lines[i]); i += 1
+    _dm = int(lines[i]); i += 1
     time = float(lines[i]); i += 1
     finest = int(lines[i]); i += 1
-    nlev = finest + 1
     levels = []
-    for lev in range(nlev):
-        ld = os.path.join(name, f"Level_{lev}")
-        with open(os.path.join(ld, "Cell_H")) as f:
-            h = f.read().split("\n")
-        nc = int(h[2])
-        box_line = h[5]
-        lo, hi, _ = [tuple(int(v) for v in part.strip("()").split(","))
-                     for part in box_line.strip("()").split(") (")]
-        n = tuple(hi[d] - lo[d] + 1 for d in range(dm))
-        fab = os.path.join(ld, "Cell_D_00000")
-        with open(fab, "rb") as f:
-            hdr = f.readline()
-            offset = f.tell()
-        from . import native
-        arr = native.read_fab(fab, offset, nc, n)
-        if arr is None:
-            with open(fab, "rb") as f:
-                f.seek(offset)
-                raw = np.frombuffer(f.read(), np.float64,
-                                    count=nc * int(np.prod(n)))
-            arr = raw.reshape((nc,) + tuple(reversed(n)))
-            arr = np.stack([arr[c].T for c in range(nc)])
+    for lev in range(finest + 1):
+        arr, _lo, _nodal = read_multifab(os.path.join(name, f"Level_{lev}"))
         levels.append(arr)
     return names, time, levels

@@ -50,39 +50,79 @@ def write_plotfile(sim: Sim, state: State, istep: int, time: float, dt: float,
     return name
 
 
+def _write_chk_header(name, time, dt, nlevs):
+    """Reference Header: Fortran namelist + per-level ref ratios
+    (checkpoint.f90:66-79)."""
+    with open(os.path.join(name, "Header"), "w") as f:
+        f.write("&CHKPOINT\n")
+        f.write(f" time = {time!r}\n")
+        f.write(f" dt = {dt!r}\n")
+        f.write(f" nlevs = {nlevs}\n")
+        f.write("/\n")
+        for _ in range(nlevs - 1):
+            f.write(" 2\n")
+
+
+def _read_chk_header(name):
+    import re
+    with open(os.path.join(name, "Header")) as f:
+        txt = f.read()
+    time = float(re.search(r"time\s*=\s*([^\s,]+)", txt).group(1))
+    dt = float(re.search(r"dt\s*=\s*([^\s,]+)", txt).group(1))
+    nlevs = int(re.search(r"nlevs\s*=\s*(\d+)", txt).group(1))
+    return time, dt, nlevs
+
+
+def _istep_of(name):
+    import re
+    m = re.search(r"(\d+)$", name.rstrip("/"))
+    return int(m.group(1)) if m else 0
+
+
 def write_checkpoint(sim: Sim, state: State, istep: int, time: float,
                      dt: float, base: str = None, hints=None):
-    """Checkpoint contents mirror reference checkpoint.f90:36-79:
-    cell state [u|s|gp] + nodal p + scalar header (+ projection warm-start
-    hints so restarts resume bitwise)."""
+    """BoxLib-layout checkpoint dir (reference checkpoint.f90:14-83):
+    Header namelist + State multifab ([u|s|gp], 2*dm+nscal comps) +
+    Pressure nodal multifab; projection warm-start hints ride along in
+    hints.npz (an extension file the reference doesn't have)."""
+    from . import boxlib
     name = f"{base or sim.cfg.check_base_name}{istep:05d}"
     os.makedirs(name, exist_ok=True)
-    extra = {} if hints is None else {
-        "phi_mac": np.asarray(hints["phi_mac"]),
-        "phi_hg": np.asarray(hints["phi_hg"])}
-    np.savez(os.path.join(name, "state.npz"),
-             u=np.asarray(state.u), s=np.asarray(state.s),
-             gp=np.asarray(state.gp), p=np.asarray(state.p), **extra)
-    header = {"time": time, "dt": dt, "nlevs": 1, "istep": istep,
-              "n_cell": list(sim.n_cell), "dim": sim.dm}
-    with open(os.path.join(name, "Header.json"), "w") as f:
-        json.dump(header, f)
+    chk = np.concatenate([np.asarray(state.u), np.asarray(state.s),
+                          np.asarray(state.gp)])
+    boxlib.write_multifab(os.path.join(name, "State", "Level_0"),
+                          np.asarray(chk, np.float64))
+    boxlib.write_multifab(os.path.join(name, "Pressure", "Level_0"),
+                          np.asarray(state.p, np.float64)[None], nodal=True)
+    if hints is not None:
+        np.savez(os.path.join(name, "hints.npz"),
+                 phi_mac=np.asarray(hints["phi_mac"]),
+                 phi_hg=np.asarray(hints["phi_hg"]))
+    _write_chk_header(name, time, dt, 1)
     write_job_info(name, sim)
     return name
 
 
 def read_checkpoint(sim: Sim, name: str):
     """reference checkpoint_read (checkpoint.f90:85-145) + fill_restart_data."""
-    data = np.load(os.path.join(name, "state.npz"))
-    with open(os.path.join(name, "Header.json")) as f:
-        header = json.load(f)
+    from . import boxlib
+    time, dt, _nlevs = _read_chk_header(name)
+    chk, _lo, _ = boxlib.read_multifab(os.path.join(name, "State", "Level_0"))
+    p, _plo, nodal = boxlib.read_multifab(
+        os.path.join(name, "Pressure", "Level_0"))
+    assert nodal, "Pressure multifab must be nodal"
+    dm, nscal = sim.dm, sim.nscal
     dtype = sim.dtype
-    state = State(u=jnp.asarray(data["u"], dtype),
-                  s=jnp.asarray(data["s"], dtype),
-                  gp=jnp.asarray(data["gp"], dtype),
-                  p=jnp.asarray(data["p"], dtype))
+    state = State(u=jnp.asarray(chk[:dm], dtype),
+                  s=jnp.asarray(chk[dm:dm + nscal], dtype),
+                  gp=jnp.asarray(chk[dm + nscal:2 * dm + nscal], dtype),
+                  p=jnp.asarray(p[0], dtype))
+    header = {"time": time, "dt": dt, "nlevs": 1, "istep": _istep_of(name),
+              "n_cell": list(chk.shape[1:]), "dim": dm}
     hints = None
-    if "phi_mac" in data:
+    hp = os.path.join(name, "hints.npz")
+    if os.path.exists(hp):
+        data = np.load(hp)
         hints = {"phi_mac": jnp.asarray(data["phi_mac"], dtype),
                  "phi_hg": jnp.asarray(data["phi_hg"], dtype)}
     return state, header, hints
@@ -116,39 +156,50 @@ def write_plotfile_ml(geom, states, istep: int, time: float,
 
 def write_checkpoint_ml(geom, states, istep: int, time: float, dt: float,
                         base: str = None):
-    """Multi-level checkpoint: per-level State + specs in the header
-    (reference checkpoint.f90:14-83)."""
+    """Multi-level BoxLib-layout checkpoint: State/Pressure ml-multifab
+    dirs with one Level_l subdir per level (reference checkpoint.f90:14-83
+    via fabio_ml_multifab_write_d)."""
+    from . import boxlib
     sim = geom.sim
     name = f"{base or sim.cfg.check_base_name}{istep:05d}"
     os.makedirs(name, exist_ok=True)
     for l, st in enumerate(states):
-        np.savez(os.path.join(name, f"state_l{l}.npz"),
-                 u=np.asarray(st.u), s=np.asarray(st.s),
-                 gp=np.asarray(st.gp), p=np.asarray(st.p))
-    header = {"time": time, "dt": dt, "nlevs": geom.nlev, "istep": istep,
-              "n_cell": list(sim.n_cell), "dim": sim.dm,
-              "specs": [[list(s.lo), list(s.n)] for s in geom.specs]}
-    with open(os.path.join(name, "Header.json"), "w") as f:
-        json.dump(header, f)
+        lo = list(geom.specs[l].lo)
+        chk = np.concatenate([np.asarray(st.u), np.asarray(st.s),
+                              np.asarray(st.gp)])
+        boxlib.write_multifab(os.path.join(name, "State", f"Level_{l}"),
+                              np.asarray(chk, np.float64), lo)
+        boxlib.write_multifab(os.path.join(name, "Pressure", f"Level_{l}"),
+                              np.asarray(st.p, np.float64)[None], lo,
+                              nodal=True)
+    _write_chk_header(name, time, dt, geom.nlev)
     write_job_info(name, sim)
     return name
 
 
 def read_checkpoint_ml(sim: Sim, name: str):
+    from . import boxlib
     from ..amr.fill import MLGeom
     from ..amr.hierarchy import LevelSpec
-    with open(os.path.join(name, "Header.json")) as f:
-        header = json.load(f)
-    specs = [LevelSpec(tuple(lo), tuple(n)) for lo, n in header["specs"]]
-    geom = MLGeom(sim, specs)
-    states = []
+    time, dt, nlevs = _read_chk_header(name)
+    states, specs = [], []
     dtype = sim.dtype
-    for l in range(header["nlevs"]):
-        data = np.load(os.path.join(name, f"state_l{l}.npz"))
-        states.append(State(u=jnp.asarray(data["u"], dtype),
-                            s=jnp.asarray(data["s"], dtype),
-                            gp=jnp.asarray(data["gp"], dtype),
-                            p=jnp.asarray(data["p"], dtype)))
+    dm, nscal = sim.dm, sim.nscal
+    for l in range(nlevs):
+        chk, lo, _ = boxlib.read_multifab(
+            os.path.join(name, "State", f"Level_{l}"))
+        p, _plo, nodal = boxlib.read_multifab(
+            os.path.join(name, "Pressure", f"Level_{l}"))
+        assert nodal
+        specs.append(LevelSpec(tuple(lo), tuple(chk.shape[1:])))
+        states.append(State(u=jnp.asarray(chk[:dm], dtype),
+                            s=jnp.asarray(chk[dm:dm + nscal], dtype),
+                            gp=jnp.asarray(chk[dm + nscal:], dtype),
+                            p=jnp.asarray(p[0], dtype)))
+    geom = MLGeom(sim, specs)
+    header = {"time": time, "dt": dt, "nlevs": nlevs,
+              "istep": _istep_of(name), "n_cell": list(sim.n_cell),
+              "dim": dm, "specs": [[list(s.lo), list(s.n)] for s in specs]}
     return geom, states, header
 
 

@@ -10,7 +10,7 @@ from varden_tpu.ops import godunov3d, pallas_godunov
 from varden_tpu.state import Sim
 
 
-def _setup(bc, n=(24, 24, 16)):
+def _setup(bc, n=(24, 40, 16)):
     cfg = VardenConfig(dim_in=3, prob_type=1, n_cellx=n[0], n_celly=n[1],
                        n_cellz=n[2],
                        bcx_lo=bc[0], bcx_hi=bc[0], bcy_lo=bc[1],

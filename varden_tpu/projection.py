@@ -204,8 +204,9 @@ def visc_solve(sim: Sim, unew: jnp.ndarray, lapu: jnp.ndarray,
     """
     dm, dx, n = sim.dm, sim.dx, sim.n_cell
     rel_eps = sim.eps(1.0e-12 if rel_eps is None else rel_eps)
-    out = []
     mac_rhs_p = sim.fill_extrap(mac_rhs, 1)
+
+    rhs_list = []
     for d in range(dm):
         rh = unew[d] * rho
         if diffusion_type == 1:
@@ -215,16 +216,37 @@ def visc_solve(sim: Sim, unew: jnp.ndarray, lapu: jnp.ndarray,
             visc_mu_dt = visc_mu
         # (1/3) mu dt grad(divu) term (viscsolve.f90:227-239)
         rh = rh + (1.0 / 3.0) * visc_mu_dt * _grad_cc(mac_rhs_p, d, dm, dx[d])
+        rhs_list.append(rh)
 
-        ell_bc = [tuple(sim.ell_bc[d][t]) for t in range(dm)]
-        bvals = [[sim.bvals[d][t][s] for s in range(2)] for t in range(dm)]
-        beta = tuple(jnp.full(tuple(n[t] + (1 if t == a else 0)
-                                    for t in range(dm)), visc_mu, sim.dtype)
-                     for a in range(dm))
+    def comp_bc(d):
+        ell = [tuple(sim.ell_bc[d][t]) for t in range(dm)]
+        bv = [[sim.bvals[d][t][s] for s in range(2)] for t in range(dm)]
+        return ell, bv
+
+    beta = tuple(jnp.full(tuple(n[t] + (1 if t == a else 0)
+                                for t in range(dm)), visc_mu, sim.dtype)
+                 for a in range(dm))
+    bcs = [comp_bc(d) for d in range(dm)]
+    if all(b == bcs[0] for b in bcs[1:]):
+        # identical operator across components (e.g. NO_SLIP walls): one
+        # vmapped solve — a single V-cycle loop instead of dm sequential
+        # ones (better coarse-level utilization; one while_loop)
+        ell_bc, bvals = bcs[0]
         with jax.named_scope("visc_solve"):
-            phi, _ = mg.solve(n, dx, ell_bc, jnp.asarray(rho), beta, rh,
-                              alpha=1.0, bvals=bvals, phi0=unew[d],
-                              rel_eps=rel_eps, abs_eps=-1.0)
+            phi, _ = jax.vmap(
+                lambda rh, p0: mg.solve(n, dx, ell_bc, jnp.asarray(rho),
+                                        beta, rh, alpha=1.0, bvals=bvals,
+                                        phi0=p0, rel_eps=rel_eps,
+                                        abs_eps=-1.0)
+            )(jnp.stack(rhs_list), unew)
+        return phi
+    out = []
+    for d in range(dm):
+        ell_bc, bvals = bcs[d]
+        with jax.named_scope("visc_solve"):
+            phi, _ = mg.solve(n, dx, ell_bc, jnp.asarray(rho), beta,
+                              rhs_list[d], alpha=1.0, bvals=bvals,
+                              phi0=unew[d], rel_eps=rel_eps, abs_eps=-1.0)
         out.append(phi)
     return jnp.stack(out)
 

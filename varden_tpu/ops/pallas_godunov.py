@@ -54,11 +54,14 @@ class _Plan:
     See the module docstring for the Mosaic constraints that pick these
     numbers."""
 
-    def __init__(self, n_cell, ng):
+    def __init__(self, n_cell, ng, heavy=False):
         self.n = tuple(n_cell)
         self.ng = ng
         n0, n1, n2 = n_cell
-        self.tx = 8 if n2 <= 128 else 4
+        # Mosaic stack scales with tile volume x live stage temporaries;
+        # measured at 256^3: velpred fits tx=8 (<16M), the multi-component
+        # mkflux (heavy) needs tx=4 (19.4M at tx=8)
+        self.tx = 8 if (n2 <= 128 or not heavy) else 4
         self.xl = SLAB
         self.xh = SLAB + (n0 - 2 * SLAB) % self.tx
         self.yl = 8
@@ -302,7 +305,7 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     """Tiled-interior + slab-boundary mkflux. Returns (sedge, sflux) exactly
     as godunov3d.mkflux_3d."""
     nc = s.shape[0]
-    p = _Plan(n_cell, ng)
+    p = _Plan(n_cell, ng, heavy=True)
     n0, n1, n2 = n_cell
 
     macw = mac_wins(mac_pads, ng, n_cell)

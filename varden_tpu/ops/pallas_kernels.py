@@ -127,7 +127,7 @@ def gsrb_sweep_3d(phi_pad, rhs, inv_diag, beta, dx, aco=None, alpha=0.0,
     # under ~6MB of the 16MB budget.
     TX = None
     for t in (32, 16, 8, 4, 2, 1):
-        if n[0] % t == 0 and _gsrb3d_block_bytes(t, n) < 6 * 1024 * 1024:
+        if n[0] % t == 0 and _gsrb3d_block_bytes(t, n) < 8 * 1024 * 1024:
             TX = t
             break
     if TX is None:

@@ -93,12 +93,21 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                                adv_bc_vel, ng, n, cfg.slope_order,
                                cfg.use_minion)
     else:
+      from .ops import pallas_godunov
+      fused = (god3 is godunov3d and
+               pallas_godunov.tiles_supported(n, sim.dtype))
       with scope("velpred"):
-        u_slopes = god3.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
-                                      cfg.slope_order)
-        umac = god3.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
-                               adv_bc_vel, ng, n, cfg.slope_order,
-                               cfg.use_minion, slopes=u_slopes)
+        if fused:
+            u_slopes = None
+            umac = pallas_godunov.velpred_3d_fused(
+                u_pad, vf_pad, dt, dx, sim.phys_bc, adv_bc_vel, ng, n,
+                cfg.slope_order, cfg.use_minion)
+        else:
+            u_slopes = god3.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
+                                          cfg.slope_order)
+            umac = god3.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                                   adv_bc_vel, ng, n, cfg.slope_order,
+                                   cfg.use_minion, slopes=u_slopes)
 
     # ---- MAC projection
     phi_mac0 = None if hints is None else hints.get("phi_mac")
@@ -127,10 +136,16 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
         sedge, sflux = (sedgex, sedgey), (fluxx, fluxy)
     else:
       with scope("mkflux_s"):
-        sedge, sflux = god3.mkflux_3d(
-            s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
-            adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
-            cfg.use_minion)
+        if fused:
+            sedge, sflux = pallas_godunov.mkflux_3d_fused(
+                s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
+                adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+                cfg.use_minion)
+        else:
+            sedge, sflux = god3.mkflux_3d(
+                s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
+                adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
+                cfg.use_minion)
 
     scal_force_half = basic.mkscalforce(ext_scal, laps, cfg.diff_coef, 0.0)
     snew = basic.update(sold, umac, sedge, sflux, scal_force_half, dt, dx,
@@ -157,10 +172,16 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
         uedge, uflux = (uex, uey), (ufx, ufy)
     else:
       with scope("mkflux_u"):
-        uedge, uflux = god3.mkflux_3d(
-            u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
-            adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
-            cfg.use_minion, slopes=u_slopes)
+        if fused:
+            uedge, uflux = pallas_godunov.mkflux_3d_fused(
+                u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
+                adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
+                cfg.use_minion)
+        else:
+            uedge, uflux = god3.mkflux_3d(
+                u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
+                adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
+                cfg.use_minion, slopes=u_slopes)
 
     # backward Euler drops the explicit viscous term (advance_timestep.f90:116-120)
     if cfg.diffusion_type == 2:

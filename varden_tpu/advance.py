@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import projection
@@ -83,31 +84,30 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     vel_force = basic.mkvelforce(cfg.ext_force, sold, gp, lapu,
                                  cfg.visc_coef, 1.0, cfg.boussinesq)
     god2, god3 = godunov_mods(cfg)
-    import jax
     u_pad = sim.fill_vel(uold)
     vf_pad = sim.fill_extrap(vel_force, ng)
     scope = jax.named_scope
     if dm == 2:
-      with scope("velpred"):
-        umac = god2.velpred_2d(u_pad, vf_pad, dt, dx, sim.phys_bc,
-                               adv_bc_vel, ng, n, cfg.slope_order,
-                               cfg.use_minion)
-    else:
-      from .ops import pallas_godunov
-      fused = (god3 is godunov3d and
-               pallas_godunov.tiles_supported(n, sim.dtype))
-      with scope("velpred"):
-        if fused:
-            u_slopes = None
-            umac = pallas_godunov.velpred_3d_fused(
-                u_pad, vf_pad, dt, dx, sim.phys_bc, adv_bc_vel, ng, n,
-                cfg.slope_order, cfg.use_minion)
-        else:
-            u_slopes = god3.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
-                                          cfg.slope_order)
-            umac = god3.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+        with scope("velpred"):
+            umac = god2.velpred_2d(u_pad, vf_pad, dt, dx, sim.phys_bc,
                                    adv_bc_vel, ng, n, cfg.slope_order,
-                                   cfg.use_minion, slopes=u_slopes)
+                                   cfg.use_minion)
+    else:
+        from .ops import pallas_godunov
+        fused = (god3 is godunov3d and
+                 pallas_godunov.tiles_supported(n, sim.dtype, ng))
+        with scope("velpred"):
+            if fused:
+                u_slopes = None
+                umac = pallas_godunov.velpred_3d_fused(
+                    u_pad, vf_pad, dt, dx, sim.phys_bc, adv_bc_vel, ng, n,
+                    cfg.slope_order, cfg.use_minion)
+            else:
+                u_slopes = god3.vel_slopes_3d(u_pad, adv_bc_vel, ng, n,
+                                              cfg.slope_order)
+                umac = god3.velpred_3d(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                                       adv_bc_vel, ng, n, cfg.slope_order,
+                                       cfg.use_minion, slopes=u_slopes)
 
     # ---- MAC projection
     phi_mac0 = None if hints is None else hints.get("phi_mac")
@@ -127,16 +127,14 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     sf_pad = sim.fill_extrap(scal_force, ng)
     mrhs_pad = sim.fill_extrap(mac_rhs, ng)
     mac_pads = embed_faces(sim, umac, ng)
-    if dm == 2:
-      with scope("mkflux_s"):
-        sedgex, sedgey, fluxx, fluxy = god2.mkflux_2d(
-            s_pad, mac_pads[0], mac_pads[1], sf_pad, mrhs_pad, dt, dx,
-            sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
-            cfg.slope_order, cfg.use_minion)
-        sedge, sflux = (sedgex, sedgey), (fluxx, fluxy)
-    else:
-      with scope("mkflux_s"):
-        if fused:
+    with scope("mkflux_s"):
+        if dm == 2:
+            sedgex, sedgey, fluxx, fluxy = god2.mkflux_2d(
+                s_pad, mac_pads[0], mac_pads[1], sf_pad, mrhs_pad, dt, dx,
+                sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
+                cfg.slope_order, cfg.use_minion)
+            sedge, sflux = (sedgex, sedgey), (fluxx, fluxy)
+        elif fused:
             sedge, sflux = pallas_godunov.mkflux_3d_fused(
                 s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
                 adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
@@ -163,16 +161,14 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     # ---- velocity advance
     vel_is_cons = [False] * dm
     uf_pad = sim.fill_extrap(vel_force, ng)  # t^n force (visc_fac=1)
-    if dm == 2:
-      with scope("mkflux_u"):
-        uex, uey, ufx, ufy = god2.mkflux_2d(
-            u_pad, mac_pads[0], mac_pads[1], uf_pad, mrhs_pad, dt, dx,
-            sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
-            cfg.slope_order, cfg.use_minion)
-        uedge, uflux = (uex, uey), (ufx, ufy)
-    else:
-      with scope("mkflux_u"):
-        if fused:
+    with scope("mkflux_u"):
+        if dm == 2:
+            uex, uey, ufx, ufy = god2.mkflux_2d(
+                u_pad, mac_pads[0], mac_pads[1], uf_pad, mrhs_pad, dt, dx,
+                sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
+                cfg.slope_order, cfg.use_minion)
+            uedge, uflux = (uex, uey), (ufx, ufy)
+        elif fused:
             uedge, uflux = pallas_godunov.mkflux_3d_fused(
                 u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
                 adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,

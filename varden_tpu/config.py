@@ -186,6 +186,21 @@ class VardenConfig:
         for d, (lo, hi) in enumerate(self.phys_bc):
             if (lo == PERIODIC) != (hi == PERIODIC):
                 raise ValueError(f"periodicity must match on both sides of dim {d}")
+        # accepted-but-repurposed knobs: the native MG always uses a dense
+        # direct bottom solve (one MXU solve — strictly dominates the
+        # reference's iterative options at bottom sizes), so the bottom-
+        # solver selectors are explicitly acknowledged rather than silently
+        # ignored (reference _parameters:51-57)
+        import warnings
+        if self.mg_bottom_solver not in (-1, 0, 1):
+            warnings.warn("mg_bottom_solver=%d requested; native MG uses a "
+                          "dense direct bottom solve" % self.mg_bottom_solver)
+        if self.hg_bottom_solver not in (-1, 0, 1):
+            warnings.warn("hg_bottom_solver=%d requested; native MG uses a "
+                          "dense direct bottom solve" % self.hg_bottom_solver)
+        if self.cg_verbose > 0:
+            warnings.warn("cg_verbose has no effect: there is no Krylov "
+                          "bottom solver in the native MG path")
         return self
 
 

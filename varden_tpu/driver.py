@@ -161,10 +161,12 @@ class Varden:
         cfg = self.cfg
         if cfg.restart >= 0:
             name = f"{cfg.check_base_name}{cfg.restart:05d}"
-            self.geom, states, header = output.read_checkpoint_ml(self.sim,
-                                                                  name)
+            self.geom, states, header, hints = output.read_checkpoint_ml(
+                self.sim, name)
             self.time, self.dt = header["time"], header["dt"]
             self.istep = header["istep"]
+            if hints is not None:
+                self._ml_hints = hints
         else:
             states = self.initialize_ml()
 
@@ -178,7 +180,8 @@ class Varden:
                                          self.time)
             if due_c or (final and cfg.chk_int > 0):
                 output.write_checkpoint_ml(self.geom, states, self.istep,
-                                           self.time, self.dt)
+                                           self.time, self.dt,
+                                           hints=self._ml_hints)
 
         write(states)
         max_step = cfg.max_step if max_step is None else max_step

@@ -123,14 +123,30 @@ def read_multifab(level_dir: str, prefix: str = "Cell"):
             data_off = f.tell()
         m = box_re.search(fhdr)
         fnc = int(fhdr[m.end():].split()[0])
-        arr = native.read_fab(path, data_off, fnc, bn)
+        # the FAB's own box may be grown by ghost cells relative to the
+        # valid box in the multifab header — use ITS extents for strides
+        flo = [int(v) for v in m.group(1).split(",")]
+        fhi_ = [int(v) for v in m.group(2).split(",")]
+        fbn = tuple(fhi_[d] - flo[d] + 1 + ext for d in range(dm))
+        # byte order from the FAB real descriptor; byteswap if it differs
+        # from this host (AMReX stamps the writing machine's order)
+        file_little = "(8 7 6 5 4 3 2 1)" in fhdr
+        native_order = file_little == (sys.byteorder == "little")
+        arr = (native.read_fab(path, data_off, fnc, fbn)
+               if native_order else None)
         if arr is None:
             with open(path, "rb") as f:
                 f.seek(data_off)
                 raw = np.frombuffer(
-                    f.read(8 * fnc * int(np.prod(bn))), np.float64)
-            arr = raw.reshape((fnc,) + tuple(reversed(bn)))
+                    f.read(8 * fnc * int(np.prod(fbn))), np.float64)
+            if not native_order:
+                raw = raw.byteswap()
+            arr = raw.reshape((fnc,) + tuple(reversed(fbn)))
             arr = np.stack([arr[c].T for c in range(fnc)])
+        # crop the FAB to its valid box
+        vsl = tuple(slice(lo[d] - flo[d], lo[d] - flo[d] + bn[d])
+                    for d in range(dm))
+        arr = arr[(slice(None),) + vsl]
         sl = tuple(slice(lo[d] - blo[d], lo[d] - blo[d] + bn[d])
                    for d in range(dm))
         out[(slice(None),) + sl] = arr[:ncomp]

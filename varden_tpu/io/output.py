@@ -32,7 +32,8 @@ def plot_fields(sim: Sim, state: State) -> np.ndarray:
     """(nfields, *n) array of plot variables, matching the reference's
     plotfile component order."""
     u_pad = sim.fill_vel(state.u)
-    vort = basic.vorticity(u_pad, sim.dx, sim.ng, sim.n_cell)
+    vort = basic.vorticity(u_pad, sim.dx, sim.ng, sim.n_cell,
+                            phys_bc=sim.phys_bc)
     mag = basic.magvel(state.u)
     comps = [state.u[d] for d in range(sim.dm)]
     comps += [state.s[i] for i in range(sim.nscal)]
@@ -55,12 +56,35 @@ def _write_chk_header(name, time, dt, nlevs):
     (checkpoint.f90:66-79)."""
     with open(os.path.join(name, "Header"), "w") as f:
         f.write("&CHKPOINT\n")
-        f.write(f" time = {time!r}\n")
-        f.write(f" dt = {dt!r}\n")
+        f.write(" time = %.17g\n" % float(time))
+        f.write(" dt = %.17g\n" % float(dt))
         f.write(f" nlevs = {nlevs}\n")
         f.write("/\n")
         for _ in range(nlevs - 1):
             f.write(" 2\n")
+
+
+def _wrap_nodal(p: np.ndarray, pmask):
+    """Duplicate the wrap node on periodic axes: our nodal arrays carry n
+    nodes there, FBoxLib multifabs carry n+1 (the +1 point per nodalized
+    axis); spatial axes are the trailing len(pmask)."""
+    dm = len(pmask)
+    for d, per in enumerate(pmask):
+        ax = p.ndim - dm + d
+        if per:
+            p = np.concatenate([p, np.take(p, [0], axis=ax)], axis=ax)
+    return p
+
+
+def _unwrap_nodal(p: np.ndarray, pmask, n_cell):
+    """Inverse of _wrap_nodal: drop the duplicated wrap node on periodic
+    axes when present (reference-written checkpoints always have it)."""
+    dm = len(pmask)
+    for d, per in enumerate(pmask):
+        ax = p.ndim - dm + d
+        if per and p.shape[ax] == n_cell[d] + 1:
+            p = np.take(p, range(n_cell[d]), axis=ax)
+    return p
 
 
 def _read_chk_header(name):
@@ -93,7 +117,8 @@ def write_checkpoint(sim: Sim, state: State, istep: int, time: float,
     boxlib.write_multifab(os.path.join(name, "State", "Level_0"),
                           np.asarray(chk, np.float64))
     boxlib.write_multifab(os.path.join(name, "Pressure", "Level_0"),
-                          np.asarray(state.p, np.float64)[None], nodal=True)
+                          _wrap_nodal(np.asarray(state.p, np.float64)[None],
+                                      sim.pmask), nodal=True)
     if hints is not None:
         np.savez(os.path.join(name, "hints.npz"),
                  phi_mac=np.asarray(hints["phi_mac"]),
@@ -111,6 +136,7 @@ def read_checkpoint(sim: Sim, name: str):
     p, _plo, nodal = boxlib.read_multifab(
         os.path.join(name, "Pressure", "Level_0"))
     assert nodal, "Pressure multifab must be nodal"
+    p = _unwrap_nodal(p, sim.pmask, chk.shape[1:])
     dm, nscal = sim.dm, sim.nscal
     dtype = sim.dtype
     state = State(u=jnp.asarray(chk[:dm], dtype),
@@ -141,7 +167,8 @@ def write_plotfile_ml(geom, states, istep: int, time: float,
     for l in range(geom.nlev):
         st = states[l]
         u_pad = pad_ml_multi(geom, u_l, list(range(sim.dm)), l, sim.ng)
-        vort = _b.vorticity(u_pad, geom.dx(l), sim.ng, geom.specs[l].n)
+        vort = _b.vorticity(u_pad, geom.dx(l), sim.ng, geom.specs[l].n,
+                            phys_bc=geom.phys_bc_level(l))
         comps = [st.u[d] for d in range(sim.dm)]
         comps += [st.s[i] for i in range(sim.nscal)]
         comps += [_b.magvel(st.u), vort]
@@ -155,10 +182,13 @@ def write_plotfile_ml(geom, states, istep: int, time: float,
 
 
 def write_checkpoint_ml(geom, states, istep: int, time: float, dt: float,
-                        base: str = None):
+                        base: str = None, hints=None):
     """Multi-level BoxLib-layout checkpoint: State/Pressure ml-multifab
     dirs with one Level_l subdir per level (reference checkpoint.f90:14-83
-    via fabio_ml_multifab_write_d)."""
+    via fabio_ml_multifab_write_d). ``hints`` (per-level projection warm
+    starts) ride along in hints.npz so a restarted run reproduces the
+    original bitwise (the reference's restart regression requires exact
+    agreement, Util/regression_testing/VARDEN-tests.ini bubble-restart)."""
     from . import boxlib
     sim = geom.sim
     name = f"{base or sim.cfg.check_base_name}{istep:05d}"
@@ -169,9 +199,17 @@ def write_checkpoint_ml(geom, states, istep: int, time: float, dt: float,
                               np.asarray(st.gp)])
         boxlib.write_multifab(os.path.join(name, "State", f"Level_{l}"),
                               np.asarray(chk, np.float64), lo)
+        # a fine level wraps only on axes it fully spans (side_kind 'per')
+        pm_l = [geom.side_kind(l, d, 0) == "per" for d in range(sim.dm)]
         boxlib.write_multifab(os.path.join(name, "Pressure", f"Level_{l}"),
-                              np.asarray(st.p, np.float64)[None], lo,
-                              nodal=True)
+                              _wrap_nodal(np.asarray(st.p, np.float64)[None],
+                                          pm_l), lo, nodal=True)
+    if hints is not None:
+        payload = {}
+        for l in range(geom.nlev):
+            payload[f"phi_mac_{l}"] = np.asarray(hints["phi_mac"][l])
+            payload[f"phi_hg_{l}"] = np.asarray(hints["phi_hg"][l])
+        np.savez(os.path.join(name, "hints.npz"), **payload)
     _write_chk_header(name, time, dt, geom.nlev)
     write_job_info(name, sim)
     return name
@@ -191,6 +229,11 @@ def read_checkpoint_ml(sim: Sim, name: str):
         p, _plo, nodal = boxlib.read_multifab(
             os.path.join(name, "Pressure", f"Level_{l}"))
         assert nodal
+        nl = chk.shape[1:]
+        pm_l = [sim.pmask[d] and lo[d] == 0
+                and lo[d] + nl[d] == sim.n_cell[d] * 2 ** l
+                for d in range(dm)]
+        p = _unwrap_nodal(p, pm_l, nl)
         specs.append(LevelSpec(tuple(lo), tuple(chk.shape[1:])))
         states.append(State(u=jnp.asarray(chk[:dm], dtype),
                             s=jnp.asarray(chk[dm:dm + nscal], dtype),
@@ -200,7 +243,15 @@ def read_checkpoint_ml(sim: Sim, name: str):
     header = {"time": time, "dt": dt, "nlevs": nlevs,
               "istep": _istep_of(name), "n_cell": list(sim.n_cell),
               "dim": dm, "specs": [[list(s.lo), list(s.n)] for s in specs]}
-    return geom, states, header
+    hints = None
+    hp = os.path.join(name, "hints.npz")
+    if os.path.exists(hp):
+        data = np.load(hp)
+        hints = {"phi_mac": [jnp.asarray(data[f"phi_mac_{l}"], dtype)
+                             for l in range(nlevs)],
+                 "phi_hg": [jnp.asarray(data[f"phi_hg_{l}"], dtype)
+                            for l in range(nlevs)]}
+    return geom, states, header, hints
 
 
 def write_job_info(dirname: str, sim: Sim):

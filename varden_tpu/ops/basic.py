@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -109,28 +110,58 @@ def estdt(u: jnp.ndarray, rho: jnp.ndarray, gp: jnp.ndarray,
 
 
 def vorticity(u_pad: jnp.ndarray, dx: Sequence[float], ng: int,
-              n_cell: Sequence[int]) -> jnp.ndarray:
+              n_cell: Sequence[int], phys_bc=None) -> jnp.ndarray:
     """Vorticity magnitude from a ghost-padded velocity (reference
-    make_vorticity, src/makevort.f90:16-56; centered differences — the
-    one-sided boundary stencils reduce to centered with filled ghosts)."""
+    make_vorticity, src/makevort.f90:16-56).
+
+    With ``phys_bc``, tangential derivatives at INLET / NO_SLIP_WALL (and,
+    in 2-D, SLIP_WALL) boundaries use the reference's one-sided stencils:
+    2-D  (f_{+1} + 3 f_0 - 4 f_{-1}) / dx      (makevort.f90:107-138)
+    3-D  (f_{+1} + 3 f_0 - 4 f_{-1}) / (3 dx)  (makevort.f90:561-607)
+    (the differing 2-D/3-D normalizations are the reference's own); without
+    it, pure centered differences."""
     dm = u_pad.shape[0]
 
-    def d_ax(f, d):
-        axis = f.ndim - dm + d
-        sl_p = [slice(None)] * f.ndim
-        sl_m = [slice(None)] * f.ndim
-        sl_p[axis] = slice(ng + 1, ng + 1 + n_cell[d])
-        sl_m[axis] = slice(ng - 1, ng - 1 + n_cell[d])
-        out_p, out_m = f[tuple(sl_p)], f[tuple(sl_m)]
-        # crop remaining axes to interior
+    def crop_others(f, d):
         for t in range(dm):
             if t == d:
                 continue
-            ax = out_p.ndim - dm + t
-            sl = [slice(None)] * out_p.ndim
+            ax = f.ndim - dm + t
+            sl = [slice(None)] * f.ndim
             sl[ax] = slice(ng, ng + n_cell[t])
-            out_p, out_m = out_p[tuple(sl)], out_m[tuple(sl)]
-        return (out_p - out_m) / (2.0 * dx[d])
+            f = f[tuple(sl)]
+        return f
+
+    def shifted(f, d, off):
+        axis = f.ndim - dm + d
+        sl = [slice(None)] * f.ndim
+        sl[axis] = slice(ng + off, ng + off + n_cell[d])
+        return crop_others(f[tuple(sl)], d)
+
+    from ..config import INLET, NO_SLIP_WALL, SLIP_WALL
+    fix_codes = ((INLET, NO_SLIP_WALL, SLIP_WALL) if dm == 2
+                 else (INLET, NO_SLIP_WALL))
+    onesided_div = dx if dm == 2 else [3.0 * h for h in dx]
+
+    def d_ax(f, d):
+        fp, f0, fm = shifted(f, d, 1), shifted(f, d, 0), shifted(f, d, -1)
+        cen = (fp - fm) / (2.0 * dx[d])
+        if phys_bc is None:
+            return cen
+        lo_fix = phys_bc[d][0] in fix_codes
+        hi_fix = phys_bc[d][1] in fix_codes
+        if not (lo_fix or hi_fix):
+            return cen
+        idx = jax.lax.broadcasted_iota(jnp.int32, cen.shape,
+                                       cen.ndim - dm + d)
+        out = cen
+        if lo_fix:
+            lo_val = (fp + 3.0 * f0 - 4.0 * fm) / onesided_div[d]
+            out = jnp.where(idx == 0, lo_val, out)
+        if hi_fix:
+            hi_val = -(fm + 3.0 * f0 - 4.0 * fp) / onesided_div[d]
+            out = jnp.where(idx == n_cell[d] - 1, hi_val, out)
+        return out
 
     if dm == 2:
         return d_ax(u_pad[1], 0) - d_ax(u_pad[0], 1)

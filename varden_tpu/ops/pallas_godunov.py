@@ -58,10 +58,23 @@ class _Plan:
         self.n = tuple(n_cell)
         self.ng = ng
         n0, n1, n2 = n_cell
-        # Mosaic stack scales with tile volume x live stage temporaries;
-        # measured at 256^3: velpred fits tx=8 (<16M), the multi-component
-        # mkflux (heavy) needs tx=4 (19.4M at tx=8)
-        self.tx = 8 if (n2 <= 128 or not heavy) else 4
+        # Mosaic's kernel stack scales with tile volume x live stage
+        # temporaries; the slab-count coefficients are calibrated from
+        # measured fits at 256^3 (velpred fits tx=8 but not 12; the
+        # single-component mkflux fits tx=12 but not 16). The same model
+        # gates large untiled-z problems instead of a hardcoded n2 switch.
+        yb = -(-(TY + 2 * ng) // 8) * 8
+        zb = n2 + 2 * ng
+        live_slabs = 50 if heavy else 62
+        self.tx = 0
+        for t in ((12, 8, 4, 2, 1) if heavy else (8, 4, 2, 1)):
+            if live_slabs * (t + 2 * ng) * yb * zb * 4 < 15.5 * 2 ** 20:
+                self.tx = t
+                break
+        if self.tx == 0:      # untiled z axis too large for any VMEM tile
+            self.nxt = self.nyt = 0
+            self.tz = n2
+            return
         self.xl = SLAB
         self.xh = SLAB + (n0 - 2 * SLAB) % self.tx
         self.yl = 8
@@ -84,7 +97,7 @@ class _Plan:
     @property
     def ok(self):
         n1 = self.n[1]
-        if min(self.nxt, self.nyt, self.tz) < 1:
+        if self.tx == 0 or min(self.nxt, self.nyt, self.tz) < 1:
             return False
         # padded y reads stay in bounds
         if self.yl + (self.nyt - 1) * TY + self.yb > n1 + 2 * self.ng:
@@ -92,7 +105,11 @@ class _Plan:
         return True
 
 
-def tiles_supported(n_cell, dtype) -> bool:
+def tiles_supported(n_cell, dtype, ng: int = 3) -> bool:
+    """Fused-kernel path available for this (n_cell, ng)? Gates on the
+    actual ghost width and the VMEM tile model (both plan variants must
+    fit) so unsupported geometries fall back to the windowed path instead
+    of failing Mosaic compilation at runtime."""
     if not HAVE_PALLAS or jax.default_backend() != "tpu":
         return False
     if os.environ.get("VARDEN_NO_PALLAS_GODUNOV"):
@@ -101,7 +118,7 @@ def tiles_supported(n_cell, dtype) -> bool:
         return False
     if min(n_cell) < 2 * SLAB + 8:
         return False
-    return _Plan(n_cell, 3).ok
+    return _Plan(n_cell, ng).ok and _Plan(n_cell, ng, heavy=True).ok
 
 
 def _interior_adv_bc(adv_bc, ncomp):
@@ -313,30 +330,37 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
     scal = jnp.stack([jnp.asarray(dt, s.dtype), eps.astype(s.dtype)])
 
-    kern = functools.partial(
-        _mkflux_kernel, dx=tuple(dx), ng=ng, tx=p.tx, tz=p.tz,
-        phys_bc=tuple(tuple(b) for b in phys_bc),
-        adv_bc=tuple(tuple(tuple(a) for a in row) for row in adv_bc),
-        is_vel=is_vel, is_cons=tuple(is_conservative),
-        slope_order=slope_order, use_minion=use_minion)
-    outs = pl.pallas_call(
-        kern,
-        grid=(p.nxt, p.nyt),
-        out_shape=[_out_shape(p, s.dtype, nc), _out_shape(p, s.dtype, nc),
-                   _out_shape(p, s.dtype, nc, zfaces=True),
-                   _out_shape(p, s.dtype, nc), _out_shape(p, s.dtype, nc),
-                   _out_shape(p, s.dtype, nc, zfaces=True)],
-        in_specs=[_in_spec(p, nc), _in_spec(p), _in_spec(p), _in_spec(p),
-                  _in_spec(p, nc), _in_spec(p),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[_out_spec(p, nc), _out_spec(p, nc),
-                   _out_spec(p, nc, zfaces=True),
-                   _out_spec(p, nc), _out_spec(p, nc),
-                   _out_spec(p, nc, zfaces=True)],
-        interpret=interpret,
-    )(s, mac_pads[0], mac_pads[1], mac_pads[2], force, mac_rhs, scal)
-    km_e = list(outs[:3])
-    km_f = list(outs[3:])
+    # One kernel call PER COMPONENT: mkflux components are independent
+    # (coupled only through the shared MAC field inputs), and the smaller
+    # per-call stack admits a larger x tile — less halo recompute than one
+    # multi-component call at a small tile.
+    outs_c = []
+    for c in range(nc):
+        kern = functools.partial(
+            _mkflux_kernel, dx=tuple(dx), ng=ng, tx=p.tx, tz=p.tz,
+            phys_bc=tuple(tuple(b) for b in phys_bc),
+            adv_bc=(tuple(tuple(tuple(a) for a in adv_bc[c])),),
+            is_vel=is_vel, is_cons=(is_conservative[c],),
+            slope_order=slope_order, use_minion=use_minion)
+        outs_c.append(pl.pallas_call(
+            kern,
+            grid=(p.nxt, p.nyt),
+            out_shape=[_out_shape(p, s.dtype, 1), _out_shape(p, s.dtype, 1),
+                       _out_shape(p, s.dtype, 1, zfaces=True),
+                       _out_shape(p, s.dtype, 1), _out_shape(p, s.dtype, 1),
+                       _out_shape(p, s.dtype, 1, zfaces=True)],
+            in_specs=[_in_spec(p, 1), _in_spec(p), _in_spec(p), _in_spec(p),
+                      _in_spec(p, 1), _in_spec(p),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[_out_spec(p, 1), _out_spec(p, 1),
+                       _out_spec(p, 1, zfaces=True),
+                       _out_spec(p, 1), _out_spec(p, 1),
+                       _out_spec(p, 1, zfaces=True)],
+            interpret=interpret,
+        )(s[c:c + 1], mac_pads[0], mac_pads[1], mac_pads[2],
+          force[c:c + 1], mac_rhs, scal))
+    km_e = [jnp.concatenate([o[i] for o in outs_c]) for i in range(3)]
+    km_f = [jnp.concatenate([o[i] for o in outs_c]) for i in range(3, 6)]
 
     def slab(axis, side, width):
         i0 = 0 if side == 0 else n_cell[axis] - width

@@ -82,7 +82,7 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
                                       adv_bc_vel, ng, n, cfg.slope_order,
                                       cfg.use_minion)
         from .ops import pallas_godunov
-        if pallas_godunov.tiles_supported(n, sim.dtype):
+        if pallas_godunov.tiles_supported(n, sim.dtype, ng):
             return pallas_godunov.velpred_3d_fused(
                 u_pad, vf_pad, dt, sim.dx, sim.phys_bc, adv_bc_vel, ng, n,
                 cfg.slope_order, cfg.use_minion)
@@ -111,7 +111,7 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
             sedge, sflux = (ex, ey), (fx, fy)
         else:
             from .ops import pallas_godunov
-            if pallas_godunov.tiles_supported(n, sim.dtype):
+            if pallas_godunov.tiles_supported(n, sim.dtype, ng):
                 sedge, sflux = pallas_godunov.mkflux_3d_fused(
                     s_pad, mp, sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
                     adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,

@@ -309,14 +309,20 @@ def bottom_dense_solve(level: CCLevel, r, singular: bool):
 
 
 def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
-            nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, singular=False):
+            nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, singular=False,
+            return_resnorm=False):
+    """One V-cycle. With return_resnorm, also returns the max-norm of the
+    post-pre-smooth fine residual — computed anyway for the restriction, so
+    the outer tolerance loop gets a convergence monitor with no extra
+    operator application."""
     level = levels[lev]
     bv = bvals if lev == 0 else [[0.0, 0.0]] * level.dm
     if lev == len(levels) - 1:
         r = rhs - cc_apply(level, phi, bv)
         if singular:
             r = r - jnp.mean(r)
-        return phi + bottom_dense_solve(level, r, singular)
+        out = phi + bottom_dense_solve(level, r, singular)
+        return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = gsrb(level, phi, rhs, bv, nu1)
     res = rhs - cc_apply(level, phi, bv)
     crs = _cell_avg_down(res, level.dm)
@@ -328,6 +334,8 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
         corr = jnp.repeat(corr, 2, axis=axis)
     phi = phi + corr
     phi = gsrb(level, phi, rhs, bv, nu2)
+    if return_resnorm:
+        return phi, jnp.max(jnp.abs(res))
     return phi
 
 
@@ -343,6 +351,18 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
 
     Mirrors the solver interface of the reference's mac_multigrid.f90:53-62
     (rel/abs eps, bottom solve) on a dense single-level grid.
+
+    Two performance choices vs the naive tolerance loop:
+      * when the operator is strongly diagonally dominant (the Helmholtz
+        solves of viscsolve.f90 at CFL-limited dt), a fixed budget of pure
+        fine-level GSRB sweeps — sized from the a-priori red-black
+        contraction bound gamma^2 — replaces V-cycles entirely; the V-cycle
+        loop below remains as the safety net and runs only if the smoothed
+        residual still exceeds tol;
+      * the V-cycle tolerance loop is monitored by the pre-smooth fine
+        residual computed INSIDE each cycle (free), not by an extra
+        operator application per cycle; the true residual is evaluated once
+        at the end for the reported resnorm.
     """
     dm = len(n)
     if bvals is None:
@@ -361,26 +381,81 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     tol = jnp.maximum(rel_eps * bnorm, jnp.asarray(
         0.0 if abs_eps < 0 else abs_eps, dtype))
 
-    def resnorm(phi):
-        return jnp.max(jnp.abs(rhs - cc_apply(levels[0], phi, bvals)))
+    L0 = levels[0]
+    phi = phi0
+    if alpha != 0.0:
+        # Jacobi contraction bound: gamma = max |offdiag| / diag; for the
+        # red-black ordered 7-point stencil the GS iteration contracts by
+        # ~gamma^2 per full sweep (consistently-ordered SPD operator)
+        safe_diag = jnp.where(L0.diag == 0.0, 1.0, L0.diag)
+        gamma = jnp.max((L0.diag - alpha * L0.aco) / safe_diag)
+        gamma = jnp.clip(gamma, 1.0e-6, 1.0)
+        target = jnp.asarray(max(rel_eps, 1.0e-14), dtype)
+        k_need = jnp.ceil(jnp.log(target) / (2.0 * jnp.log(gamma))) + 2.0
+        k_smooth = jnp.where(gamma < 0.5,
+                             jnp.minimum(k_need, 20.0), 0.0).astype(jnp.int32)
+
+        def s_cond(c):
+            return c[1] < k_smooth
+
+        def s_body(c):
+            p, k = c
+            return gsrb(L0, p, rhs, bvals, 1), k + 1
+
+        phi, _ = jax.lax.while_loop(s_cond, s_body, (phi, jnp.array(0)))
+
+    def resnorm(p):
+        return jnp.max(jnp.abs(rhs - cc_apply(levels[0], p, bvals)))
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-    def cond(carry):
-        phi, k, rn, prev = carry
-        improving = rn < 0.7 * prev  # stop at the dtype's roundoff floor
-        return jnp.logical_and(jnp.logical_and(k < max_cycles, rn > tol),
-                               improving)
+    # The requested tolerance can sit BELOW the dtype's representable
+    # residual floor (measured f32 floor at 256^3 ~= eps * diag * |phi|:
+    # roundoff of the dominant cancelling terms in L(phi)); grinding V-cycles
+    # against that floor is pure stagnation-detection waste. The effective
+    # tolerance therefore includes a computable floor estimate that tracks
+    # the current iterate's magnitude.
+    diag_max = jnp.max(jnp.abs(levels[0].diag))
+    eps_mach = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
-    def body(carry):
-        phi, k, rn, _ = carry
-        phi = v_cycle(levels, phi, rhs, bvals, 0, nu1, nu2, singular)
-        if singular:
-            phi = phi - jnp.mean(phi)
-        return phi, k + 1, resnorm(phi), rn
+    def tol_eff(p):
+        floor = 2.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))
+        return jnp.maximum(tol, floor)
+
+    # Nested tolerance loop: the INNER loop runs V-cycles gated by the free
+    # in-cycle monitor (each cycle's post-pre-smooth residual — no extra
+    # operator application per cycle); the OUTER loop verifies with ONE true
+    # residual evaluation per pass and re-enters only if the tolerance is
+    # genuinely unmet AND the inner loop did not already stall.
+    def icond(c):
+        _, kk, mon, prev, tl = c
+        return jnp.logical_and(jnp.logical_and(kk < max_cycles, mon > tl),
+                               mon < 0.7 * prev)
+
+    def ibody(c):
+        p, kk, mon, _, tl = c
+        p, mon2 = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
+                          return_resnorm=True)
+        return p, kk + 1, mon2, mon, tl
+
+    def ocond(carry):
+        p, k, rn, stalled = carry
+        go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
+        return jnp.logical_and(go, jnp.logical_not(stalled))
+
+    def obody(carry):
+        p, k, rn, _ = carry
+        tl = tol_eff(p)
+        p, mon = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
+                         return_resnorm=True)
+        p, k, mon, _, _ = jax.lax.while_loop(
+            icond, ibody, (p, k + 1, mon, big, tl))
+        return p, k, resnorm(p), mon > tl
 
     phi, iters, rn, _ = jax.lax.while_loop(
-        cond, body, (phi0, jnp.array(0), resnorm(phi0), big))
+        ocond, obody, (phi, jnp.array(0), resnorm(phi), jnp.array(False)))
+    if singular:
+        phi = phi - jnp.mean(phi)
     if return_info:
         return phi, (rn, iters)
     return phi, rn

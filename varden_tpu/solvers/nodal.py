@@ -449,11 +449,16 @@ def bottom_dense_solve(level: NodalLevel, r):
     return out
 
 
-def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2):
+def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2,
+            return_resnorm=False):
+    """One V-cycle. With return_resnorm, also returns the max-norm of the
+    post-pre-smooth fine residual (computed anyway for the restriction) so
+    the outer tolerance loop needs no extra operator application."""
     level = levels[lev]
     if lev == len(levels) - 1:
         r = rhs - nd_apply(level, phi)
-        return phi + bottom_dense_solve(level, r)
+        out = phi + bottom_dense_solve(level, r)
+        return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = jacobi(level, phi, rhs, nu1)
     res = rhs - nd_apply(level, phi)
     crs_rhs = _restrict(res, level.pmask, level.dm)
@@ -468,6 +473,8 @@ def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2):
         corr_f = corr_f * level.mask
     phi = phi + corr_f
     phi = jacobi(level, phi, rhs, nu2)
+    if return_resnorm:
+        return phi, jnp.max(jnp.abs(res))
     return phi
 
 
@@ -574,21 +581,46 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
 
     big = jnp.asarray(jnp.finfo(rhs.dtype).max, rhs.dtype)
 
-    def cond(carry):
-        _, k, rn, prev = carry
-        improving = rn < 0.7 * prev  # stop at the dtype's roundoff floor
-        return jnp.logical_and(jnp.logical_and(k < max_cycles, rn > tol),
-                               improving)
+    # Nested tolerance loop (see mg.solve): inner V-cycles gated by the free
+    # in-cycle monitor, outer loop verifies with one true residual per pass,
+    # and the effective tolerance includes the dtype's computable residual
+    # floor (~eps * diag * |phi|). Mean normalization of the singular
+    # solution is deferred to the end (the regularized bottom solve keeps
+    # the drift bounded).
+    diag_max = jnp.max(jnp.abs(levels[0].diag))
+    eps_mach = jnp.asarray(jnp.finfo(rhs.dtype).eps, rhs.dtype)
 
-    def body(carry):
-        phi, k, rn, _ = carry
-        phi = v_cycle(levels, phi, rhs)
-        if singular:
-            phi = phi - jnp.mean(phi)
-        return phi, k + 1, resnorm(phi), rn
+    def tol_eff(p):
+        floor = 2.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))
+        return jnp.maximum(tol, floor)
+
+    def icond(c):
+        _, kk, mon, prev, tl = c
+        return jnp.logical_and(jnp.logical_and(kk < max_cycles, mon > tl),
+                               mon < 0.7 * prev)
+
+    def ibody(c):
+        p, kk, mon, _, tl = c
+        p, mon2 = v_cycle(levels, p, rhs, return_resnorm=True)
+        return p, kk + 1, mon2, mon, tl
+
+    def ocond(carry):
+        p, k, rn, stalled = carry
+        go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
+        return jnp.logical_and(go, jnp.logical_not(stalled))
+
+    def obody(carry):
+        p, k, rn, _ = carry
+        tl = tol_eff(p)
+        p, mon = v_cycle(levels, p, rhs, return_resnorm=True)
+        p, k, mon, _, _ = jax.lax.while_loop(
+            icond, ibody, (p, k + 1, mon, big, tl))
+        return p, k, resnorm(p), mon > tl
 
     phi, iters, rn, _ = jax.lax.while_loop(
-        cond, body, (phi0, jnp.array(0), resnorm(phi0), big))
+        ocond, obody, (phi0, jnp.array(0), resnorm(phi0), jnp.array(False)))
+    if singular:
+        phi = phi - jnp.mean(phi)
     if return_info:
         return phi, (rn, iters)
     return phi, rn

@@ -95,12 +95,15 @@ def main():
         new_state, diag = advance.advance_timestep(
             sim, state, dt, projection.REGULAR_TIMESTEP, hints=hints)
         return new_state, {"phi_mac": diag["phi_mac"],
-                           "phi_hg": diag["phi_hg"]}
+                           "phi_mac_prev": hints["phi_mac"],
+                           "phi_hg": diag["phi_hg"],
+                           "phi_hg_prev": hints["phi_hg"]}
 
     dt = jnp.asarray(5e-4, sim.dtype)
-    hints0 = {"phi_mac": jnp.zeros(sim.n_cell, sim.dtype),
-              "phi_hg": jnp.zeros(nodal.node_shape(sim.n_cell, sim.pmask),
-                                  sim.dtype)}
+    z_mac = jnp.zeros(sim.n_cell, sim.dtype)
+    z_hg = jnp.zeros(nodal.node_shape(sim.n_cell, sim.pmask), sim.dtype)
+    hints0 = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
+              "phi_hg": z_hg, "phi_hg_prev": z_hg}
 
     def run(k):
         t0 = time.perf_counter()

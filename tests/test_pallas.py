@@ -97,7 +97,7 @@ def test_nodal_pallas_apply_matches_factored():
     mixed periodic/physical axes including an odd (n+1) first-axis node
     count exercising the pad-and-slice path."""
     from varden_tpu.solvers import nodal
-    from varden_tpu.solvers.nodal import _pad_node, _sigma_np, element_matrix
+    from varden_tpu.solvers.nodal import _pad_node, _sigma_np
 
     for pmask in [(True, True, True), (False, False, False),
                   (True, False, True)]:
@@ -107,11 +107,10 @@ def test_nodal_pallas_apply_matches_factored():
         phi = jnp.asarray(rng.rand(*ns) - 0.5)
 
         ref = nodal._factored_apply(phi, level.sigma, level.dx, pmask, 3)
-        K = element_matrix(level.dx)
         out = pk.nodal_sweep_3d(_pad_node(phi, pmask, 3),
                                 _sigma_np(level.sigma, pmask, 3),
-                                jnp.zeros_like(phi), jnp.zeros_like(phi), K,
-                                emit="apply", interpret=True)
+                                jnp.zeros_like(phi), jnp.zeros_like(phi),
+                                level.dx, emit="apply", interpret=True)
         assert out is not None
         err = np.max(np.abs(np.array(out - ref)))
         assert err < 1e-11, f"pmask={pmask}: {err}"
@@ -119,7 +118,7 @@ def test_nodal_pallas_apply_matches_factored():
 
 def test_nodal_pallas_jacobi_matches_unfused():
     from varden_tpu.solvers import nodal
-    from varden_tpu.solvers.nodal import _pad_node, _sigma_np, element_matrix
+    from varden_tpu.solvers.nodal import _pad_node, _sigma_np
 
     pmask = (False, True, False)
     n = (8, 8, 8)
@@ -132,9 +131,8 @@ def test_nodal_pallas_jacobi_matches_unfused():
     inv = 1.0 / level.diag
     ref = phi + omega * (rhs - nodal.nd_apply(level, phi)) * inv
 
-    K = element_matrix(level.dx)
     out = pk.nodal_sweep_3d(_pad_node(phi, pmask, 3),
                             _sigma_np(level.sigma, pmask, 3),
-                            rhs, inv, K, omega=omega, emit="jacobi",
+                            rhs, inv, level.dx, omega=omega, emit="jacobi",
                             interpret=True)
     assert np.max(np.abs(np.array(out - ref))) < 1e-11

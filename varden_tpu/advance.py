@@ -110,7 +110,22 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                                        cfg.use_minion, slopes=u_slopes)
 
     # ---- MAC projection
-    phi_mac0 = None if hints is None else hints.get("phi_mac")
+    # warm start: linear time-extrapolation when two past solutions are
+    # available (pressure-like fields evolve smoothly step to step)
+    def _warm(cur_key, prev_key):
+        if hints is None:
+            return None
+        cur = hints.get(cur_key)
+        prev = hints.get(prev_key)
+        if cur is not None and prev is not None:
+            # only extrapolate once the pair is genuinely consecutive
+            # (a zero/cold prev would double the guess instead)
+            delta = cur - prev
+            ok = jnp.max(jnp.abs(delta)) < 0.5 * jnp.max(jnp.abs(cur))
+            return jnp.where(ok, cur + delta, cur)
+        return cur
+
+    phi_mac0 = _warm("phi_mac", "phi_mac_prev")
     umac, div_b, div_a, phi_mac, mac_rn = projection.macproject(
         sim, umac, sold[0], mac_rhs, phi0=phi_mac0)
 
@@ -197,7 +212,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                                      visc_mu, cfg.diffusion_type)
 
     # ---- nodal projection
-    phi_hg0 = None if hints is None else hints.get("phi_hg")
+    phi_hg0 = _warm("phi_hg", "phi_hg_prev")
     diag = {}
     if cfg.verbose >= 1:
         # velocity extrema before/after projection (hgproject.f90:81-109)

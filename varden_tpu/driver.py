@@ -197,8 +197,10 @@ class Varden:
 
     def _zero_hints(self):
         sim = self.sim
-        return {"phi_mac": jnp.zeros(sim.n_cell, sim.dtype),
-                "phi_hg": jnp.zeros(sim.node_shape(), sim.dtype)}
+        z_mac = jnp.zeros(sim.n_cell, sim.dtype)
+        z_hg = jnp.zeros(sim.node_shape(), sim.dtype)
+        return {"phi_mac": z_mac, "phi_mac_prev": z_mac,
+                "phi_hg": z_hg, "phi_hg_prev": z_hg}
 
     def initialize(self, state: Optional[State] = None) -> State:
         cfg = self.cfg
@@ -219,7 +221,10 @@ class Varden:
             for _ in range(cfg.init_iter):
                 st2, diag = self._step[projection.PRESSURE_ITERS](
                     state, self.dt, hints)
-                hints = {"phi_mac": diag["phi_mac"], "phi_hg": diag["phi_hg"]}
+                hints = {"phi_mac": diag["phi_mac"],
+                         "phi_mac_prev": hints["phi_mac"],
+                         "phi_hg": diag["phi_hg"],
+                         "phi_hg_prev": hints["phi_hg"]}
                 state = State(u=state.u, s=state.s, gp=st2.gp, p=st2.p)
             self._hints = hints
         return state
@@ -239,7 +244,10 @@ class Varden:
             self._hints = self._zero_hints()
         state, diag = self._step[projection.REGULAR_TIMESTEP](
             state, self.dt, self._hints)
-        self._hints = {"phi_mac": diag["phi_mac"], "phi_hg": diag["phi_hg"]}
+        self._hints = {"phi_mac": diag["phi_mac"],
+                       "phi_mac_prev": self._hints["phi_mac"],
+                       "phi_hg": diag["phi_hg"],
+                       "phi_hg_prev": self._hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
         if cfg.verbose >= 1:

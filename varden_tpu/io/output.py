@@ -121,8 +121,7 @@ def write_checkpoint(sim: Sim, state: State, istep: int, time: float,
                                       sim.pmask), nodal=True)
     if hints is not None:
         np.savez(os.path.join(name, "hints.npz"),
-                 phi_mac=np.asarray(hints["phi_mac"]),
-                 phi_hg=np.asarray(hints["phi_hg"]))
+                 **{k: np.asarray(v) for k, v in hints.items()})
     _write_chk_header(name, time, dt, 1)
     write_job_info(name, sim)
     return name
@@ -149,8 +148,7 @@ def read_checkpoint(sim: Sim, name: str):
     hp = os.path.join(name, "hints.npz")
     if os.path.exists(hp):
         data = np.load(hp)
-        hints = {"phi_mac": jnp.asarray(data["phi_mac"], dtype),
-                 "phi_hg": jnp.asarray(data["phi_hg"], dtype)}
+        hints = {k: jnp.asarray(data[k], dtype) for k in data.files}
     return state, header, hints
 
 

@@ -223,6 +223,8 @@ def gsrb_supported(level) -> bool:
         return False
     if not HAVE_PALLAS:
         return False
+    if any(not hasattr(b, "ndim") or b.ndim == 0 for b in level.beta):
+        return False  # scalar-coefficient levels use the fused XLA smoother
     if jax.default_backend() != "tpu":
         return False
     if any(s < 8 or s % 2 for s in level.n):
@@ -239,44 +241,71 @@ def gsrb_supported(level) -> bool:
 # Nodal (FEM dense-stencil) kernels
 # ---------------------------------------------------------------------------
 
-def _nodal_kernel_3d(phi_ref, sig_ref, rhs_ref, inv_diag_ref, out_ref, *,
-                     K, omega, emit):
-    """Fused nodal FEM operator pass on one haloed tile.
+def _nodal_factored_kernel_3d(phi_ref, sig_ref, rhs_ref, inv_diag_ref,
+                              out_ref, *, dxs, omega, emit):
+    """Fused FACTORED nodal FEM pass on one haloed tile.
 
-    phi_ref: (TX+2, N1+2, N2+2) node tile with ghosts realized (periodic
-    wrap / zero). sig_ref: (TX+1, N1+1, N2+1) cell sigma with sig[k] =
-    sigma_cell[k-1] (zero/wrap outside). A phi at node i is computed
-    in-kernel as sum over the 8 adjacent cells c of sigma_c times the
-    element-stiffness combination of that cell's 8 nodal phi values — the
-    ND_DENSE stencil (hg_multigrid.f90 / nodal_stencil) with nothing
-    materialized but phi and sigma.
+    Same interface/semantics as the dense kernel below, but computes
+    A phi by the factored algorithm of solvers/nodal._factored_apply —
+    each direction's element-stiffness term is rank-1 along its own axis
+    tensored with 1-D mass matrices — ~3x fewer FLOPs than the 64-term
+    dense stencil, with every intermediate VMEM-resident (the XLA form
+    materializes ~15 full node arrays to HBM per apply).
 
-    emit: 'jacobi' -> phi + omega*(rhs - A phi)/diag;  'apply' -> A phi.
+    phi_ref: (TX+2, N1+2, N2+2) nodes, ghosts realized (periodic wrap /
+    zero — physical-side sigma is zero so those values are unread).
+    sig_ref: (TX+1, N1+1, N2+1) shifted-padded cell sigma, sig[p] =
+    sigma_cell[p-1] (zero/wrap outside). Cell index c along an axis maps
+    to padded index p = c + 1; node j receives its transpose-scatter
+    contributions from cells j-1 and j (pad indices j and j+1).
     """
     phi = phi_ref[...]
     sig = sig_ref[...]
     tx = out_ref.shape[0]
     n1 = out_ref.shape[1]
     n2 = out_ref.shape[2]
+    ext = (tx, n1, n2)
+
+    def tslice(arr, axis, start, size):
+        sl = [slice(None)] * 3
+        sl[axis] = slice(start, start + size)
+        return arr[tuple(sl)]
 
     acc = None
-    for c0 in (0, 1):
-        for c1 in (0, 1):
-            for c2 in (0, 1):
-                sc = sig[c0:c0 + tx, c1:c1 + n1, c2:c2 + n2]
-                li = (1 - c0, 1 - c1, 1 - c2)
-                inner = None
-                for j0 in (0, 1):
-                    for j1 in (0, 1):
-                        for j2 in (0, 1):
-                            w = float(K[li + (j0, j1, j2)])
-                            p = phi[c0 + j0:c0 + j0 + tx,
-                                    c1 + j1:c1 + j1 + n1,
-                                    c2 + j2:c2 + j2 + n2]
-                            term = w * p
-                            inner = term if inner is None else inner + term
-                term = sc * inner
-                acc = term if acc is None else acc + term
+    for d in range(3):
+        tangs = [t for t in range(3) if t != d]
+        # undivided node difference along d, cell-indexed (ext[d]+1 cells)
+        g = tslice(phi, d, 1, ext[d] + 1) - tslice(phi, d, 0, ext[d] + 1)
+        # tangential corner gathers: cell c_t takes node c_t + q_t
+        # (pad index p_t + q_t), ext[t]+1 cells per tangential axis
+        corners = {}
+        for q in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            v = g
+            for qi, t in zip(q, tangs):
+                v = tslice(v, t, qi, ext[t] + 1)
+            corners[q] = v
+        # sequential 1-D mass transform [[2,1],[1,2]] per tangential axis
+        for ti in range(2):
+            new = {}
+            for q in corners:
+                flip = tuple(1 - qq if i == ti else qq
+                             for i, qq in enumerate(q))
+                new[q] = 2.0 * corners[q] + corners[flip]
+            corners = new
+        scale = 1.0 / dxs[d]
+        for t in tangs:
+            scale = scale * (dxs[t] / 6.0)
+        # sigma scale + tangential scatter (node j_t <- cell j_t - q_t,
+        # i.e. pad index 1 - q_t + j_t) + accumulate
+        r = None
+        for q, v in corners.items():
+            w = (scale * sig) * v
+            for qi, t in zip(q, tangs):
+                w = tslice(w, t, 1 - qi, ext[t])
+            r = w if r is None else r + w
+        # transpose difference along d: out[j] = r[cell j-1] - r[cell j]
+        contrib = tslice(r, d, 0, ext[d]) - tslice(r, d, 1, ext[d])
+        acc = contrib if acc is None else acc + contrib
 
     if emit == "apply":
         out_ref[...] = acc
@@ -286,23 +315,24 @@ def _nodal_kernel_3d(phi_ref, sig_ref, rhs_ref, inv_diag_ref, out_ref, *,
 
 
 def _nodal3d_block_bytes(tx, ns):
-    """Estimated VMEM bytes for one grid block: operands plus kernel stack.
-    Mosaic materializes each of the 27 shifted phi views as a full
-    (tx, n1, n2) slab (measured: 29M stack at tx=8, n=129 → ~26 live
-    slabs), so the stack term dominates."""
+    """Estimated VMEM bytes for one grid block: operands plus kernel stack
+    of the FACTORED kernel (~14 live (tx+1)-extent slabs: g, 4 corners
+    through the mass transforms, the scatter accumulator, partial sums —
+    calibrated so the VERIFIED configs pass: TX=1 at 257^3 nodes, TX=4 at
+    129^3; TX=16 at 257^3 fails Mosaic)."""
     def sz(a, b, c):
         return a * ((b + 7) // 8 * 8) * ((c + 127) // 128 * 128)
     phi = sz(tx + 2, ns[1] + 2, ns[2] + 2)
     sig = sz(tx + 1, ns[1] + 1, ns[2] + 1)
     cell = sz(tx, ns[1], ns[2])        # rhs / inv_diag / out
-    stack = 27 * cell
+    stack = 14 * sz(tx + 1, ns[1] + 1, ns[2] + 1)
     return 4 * (phi + sig + 3 * cell + stack)
 
 
-def nodal_sweep_3d(phi_pad, sig_np, rhs, inv_diag, K, omega=0.85,
+def nodal_sweep_3d(phi_pad, sig_np, rhs, inv_diag, dxs, omega=0.85,
                    emit="jacobi", *, interpret=False):
-    """One fused nodal pass. phi_pad: (N+2) node array with ghosts;
-    sig_np: (N+1) shifted-padded cell sigma; returns N-node array.
+    """One fused factored nodal pass. phi_pad: (N+2) node array with
+    ghosts; sig_np: (N+1) shifted-padded cell sigma; returns N-node array.
 
     The first axis is tiled; when the node count is not a TX multiple
     (physical axes have n+1 nodes) the operands are zero-padded high — the
@@ -328,8 +358,8 @@ def nodal_sweep_3d(phi_pad, sig_np, rhs, inv_diag, K, omega=0.85,
         rhs = padx(rhs, n0p)
         inv_diag = padx(inv_diag, n0p)
     grid = (n0p // TX,)
-    kern = functools.partial(_nodal_kernel_3d, K=K, omega=float(omega),
-                             emit=emit)
+    kern = functools.partial(_nodal_factored_kernel_3d, dxs=tuple(dxs),
+                             omega=float(omega), emit=emit)
 
     def espec(bs, stride):
         return pl.BlockSpec(tuple(pl.Element(b) for b in bs),
@@ -356,13 +386,12 @@ def nodal_sweep_3d(phi_pad, sig_np, rhs, inv_diag, K, omega=0.85,
 def nodal_supported(level) -> bool:
     """Pallas nodal path available? (3-D, unmasked, big enough, on TPU).
 
-    OPT-IN (VARDEN_PALLAS_NODAL=1): measured on v5e at 128^3 f32 the fused
-    dense-FEM sweep is ~9% SLOWER end-to-end than the factored XLA apply
-    (58.7 -> 53.3 Mcells/s full-step) — the 64-term per-node stencil is
-    VPU-bound while the factored form needs ~3x fewer FLOPs. Kept (with
-    interpret-mode equivalence tests) as the starting point for a factored
-    in-kernel variant."""
-    if not os.environ.get("VARDEN_PALLAS_NODAL"):
+    Default-on since the kernel switched to the FACTORED in-kernel
+    algorithm (the earlier dense 64-term variant was VPU-bound and ~9%
+    slower end-to-end than the factored XLA apply; the factored kernel
+    keeps its ~3x FLOP advantage AND the VMEM-resident intermediates).
+    VARDEN_NO_PALLAS_NODAL=1 opts out."""
+    if os.environ.get("VARDEN_NO_PALLAS_NODAL"):
         return False
     if not HAVE_PALLAS or jax.default_backend() != "tpu":
         return False

@@ -223,9 +223,9 @@ def visc_solve(sim: Sim, unew: jnp.ndarray, lapu: jnp.ndarray,
         bv = [[sim.bvals[d][t][s] for s in range(2)] for t in range(dm)]
         return ell, bv
 
-    beta = tuple(jnp.full(tuple(n[t] + (1 if t == a else 0)
-                                for t in range(dm)), visc_mu, sim.dtype)
-                 for a in range(dm))
+    # constant coefficient: pass traced scalars — no face arrays are
+    # materialized and the solver takes its fused constant-stencil path
+    beta = (visc_mu,) * dm
     bcs = [comp_bc(d) for d in range(dm)]
     if all(b == bcs[0] for b in bcs[1:]):
         # identical operator across components (e.g. NO_SLIP walls): one
@@ -266,9 +266,7 @@ def diff_scalar_solve(sim: Sim, snew: jnp.ndarray, laps: jnp.ndarray,
             rh = rh + visc_mu * laps[i]
         ell_bc = [tuple(sim.ell_bc[comp][t]) for t in range(dm)]
         bvals = [[sim.bvals[comp][t][s] for s in range(2)] for t in range(dm)]
-        beta = tuple(jnp.full(tuple(n[t] + (1 if t == a else 0)
-                                    for t in range(dm)), visc_mu, sim.dtype)
-                     for a in range(dm))
+        beta = (visc_mu,) * dm
         aco = jnp.ones(n, sim.dtype)
         with jax.named_scope("diff_solve"):
             phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rh, alpha=1.0,

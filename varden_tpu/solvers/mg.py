@@ -124,9 +124,18 @@ class CCLevel:
         return len(self.n)
 
 
+def _is_scalar_coef(b) -> bool:
+    """beta entries may be plain/traced scalars (constant-coefficient
+    operators: the Helmholtz solves of viscsolve.f90 where beta = mu) —
+    then face-coefficient arrays are never materialized."""
+    return not hasattr(b, "ndim") or b.ndim == 0
+
+
 def _face_avg_down(beta_d, d, dm):
     """Coarsen a face-centered coefficient: keep coincident planes (even
     indices along d), average 2-cell tangential blocks."""
+    if _is_scalar_coef(beta_d):
+        return beta_d
     axis_d = beta_d.ndim - dm + d
     sl = [slice(None)] * beta_d.ndim
     sl[axis_d] = slice(0, None, 2)
@@ -165,8 +174,13 @@ def _make_diag(n, dx, ell_bc, aco, beta, alpha, dm):
             sl[axis] = slice(i0, i1)
             return beta[d][tuple(sl)]
 
-        b_lo = faces(0, -1)
-        b_hi = faces(1, None)
+        if _is_scalar_coef(beta[d]):
+            b = jnp.asarray(beta[d], aco.dtype)
+            b_lo = jnp.broadcast_to(b, aco.shape)
+            b_hi = b_lo
+        else:
+            b_lo = faces(0, -1)
+            b_hi = faces(1, None)
         # boundary-face factors: interior/periodic 1, Dirichlet 3, Neumann 0
         c_lo = jnp.ones_like(b_lo)
         c_hi = jnp.ones_like(b_hi)
@@ -202,9 +216,7 @@ def laplacian(f, n, dx, ell_bc, bvals=None):
     beta=-1 (reference explicit_diffusive_term.f90:55-60)."""
     dm = len(n)
     aco = jnp.zeros_like(f)
-    beta = tuple(jnp.ones(tuple(n[t] + (1 if t == d else 0) for t in range(dm)),
-                          f.dtype) for d in range(dm))
-    level = make_level(n, dx, ell_bc, aco, beta, 0.0)
+    level = make_level(n, dx, ell_bc, aco, (1.0,) * dm, 0.0)
     return -cc_apply(level, f, bvals)
 
 
@@ -283,6 +295,20 @@ def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
         for mask in (red, black):
             r = rhs - cc_apply(level, phi, bvals)
             phi = phi + mask * r * inv_diag
+    return phi
+
+
+def jacobi(level: CCLevel, phi, rhs, bvals, nsweeps):
+    """Plain (undamped) Jacobi sweeps in XLA. For scalar (constant) beta the
+    whole sweep — ghost pad, 7-point stencil, axpy — fuses into one pass;
+    used by the diagonally-dominant Helmholtz fast path where the Jacobi
+    iteration matrix norm gamma = |offdiag|/diag is already << 1."""
+    inv_diag = jnp.where(level.diag != 0.0,
+                         1.0 / jnp.where(level.diag == 0.0, 1.0, level.diag),
+                         0.0)
+    for _ in range(nsweeps):
+        r = rhs - cc_apply(level, phi, bvals)
+        phi = phi + r * inv_diag
     return phi
 
 
@@ -368,8 +394,9 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     if bvals is None:
         bvals = [[0.0, 0.0]] * dm
     singular = is_singular(ell_bc, alpha)
+    scalar_beta = all(_is_scalar_coef(b) for b in beta)
 
-    levels = build_hierarchy(list(n), list(dx), ell_bc, aco, list(beta), alpha)
+    L0 = make_level(list(n), list(dx), ell_bc, aco, tuple(beta), alpha)
 
     if singular:
         rhs = rhs - jnp.mean(rhs)
@@ -381,31 +408,37 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     tol = jnp.maximum(rel_eps * bnorm, jnp.asarray(
         0.0 if abs_eps < 0 else abs_eps, dtype))
 
-    L0 = levels[0]
     phi = phi0
     if alpha != 0.0:
-        # Jacobi contraction bound: gamma = max |offdiag| / diag; for the
-        # red-black ordered 7-point stencil the GS iteration contracts by
-        # ~gamma^2 per full sweep (consistently-ordered SPD operator)
+        # Jacobi contraction bound: gamma = max |offdiag| / diag. Per sweep
+        # the error contracts by ~gamma (Jacobi) or ~gamma^2 (red-black GS
+        # on the consistently-ordered 7-point operator).
         safe_diag = jnp.where(L0.diag == 0.0, 1.0, L0.diag)
         gamma = jnp.max((L0.diag - alpha * L0.aco) / safe_diag)
         gamma = jnp.clip(gamma, 1.0e-6, 1.0)
         target = jnp.asarray(max(rel_eps, 1.0e-14), dtype)
-        k_need = jnp.ceil(jnp.log(target) / (2.0 * jnp.log(gamma))) + 2.0
+        per_sweep = 1.0 if scalar_beta else 2.0
+        k_need = jnp.ceil(jnp.log(target)
+                          / (per_sweep * jnp.log(gamma))) + 2.0
         k_smooth = jnp.where(gamma < 0.5,
-                             jnp.minimum(k_need, 20.0), 0.0).astype(jnp.int32)
+                             jnp.minimum(k_need, 40.0), 0.0).astype(jnp.int32)
 
         def s_cond(c):
             return c[1] < k_smooth
 
         def s_body(c):
             p, k = c
-            return gsrb(L0, p, rhs, bvals, 1), k + 1
+            if scalar_beta:
+                # constant-coefficient: one fully-fused XLA Jacobi pass
+                p = jacobi(L0, p, rhs, bvals, 1)
+            else:
+                p = gsrb(L0, p, rhs, bvals, 1)
+            return p, k + 1
 
         phi, _ = jax.lax.while_loop(s_cond, s_body, (phi, jnp.array(0)))
 
-    def resnorm(p):
-        return jnp.max(jnp.abs(rhs - cc_apply(levels[0], p, bvals)))
+    def resnorm0(p):
+        return jnp.max(jnp.abs(rhs - cc_apply(L0, p, bvals)))
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
@@ -415,45 +448,71 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     # against that floor is pure stagnation-detection waste. The effective
     # tolerance therefore includes a computable floor estimate that tracks
     # the current iterate's magnitude.
-    diag_max = jnp.max(jnp.abs(levels[0].diag))
+    diag_max = jnp.max(jnp.abs(L0.diag))
     eps_mach = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
     def tol_eff(p):
         floor = 2.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))
         return jnp.maximum(tol, floor)
 
-    # Nested tolerance loop: the INNER loop runs V-cycles gated by the free
-    # in-cycle monitor (each cycle's post-pre-smooth residual — no extra
-    # operator application per cycle); the OUTER loop verifies with ONE true
-    # residual evaluation per pass and re-enters only if the tolerance is
-    # genuinely unmet AND the inner loop did not already stall.
-    def icond(c):
-        _, kk, mon, prev, tl = c
-        return jnp.logical_and(jnp.logical_and(kk < max_cycles, mon > tl),
-                               mon < 0.7 * prev)
+    rn0 = resnorm0(phi)
 
-    def ibody(c):
-        p, kk, mon, _, tl = c
-        p, mon2 = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
-                          return_resnorm=True)
-        return p, kk + 1, mon2, mon, tl
+    # The whole multigrid machinery — hierarchy coarsening (several strided
+    # passes over aco/beta), V-cycles, bottom solve — lives inside a
+    # lax.cond branch that only EXECUTES when the smoothed iterate still
+    # misses tolerance; solves settled by the fast path pay nothing for it.
+    def mg_branch(phi):
+        # scalar beta stays scalar down the hierarchy: every consumer
+        # (_face_avg_down, _make_diag, cc_apply) broadcasts it, the fused
+        # constant-stencil XLA smoother applies at every level, and no face
+        # arrays are ever materialized (materializing them here would also
+        # re-enable the Pallas GSRB, whose tile plan busts VMEM when this
+        # solve is vmapped over velocity components).
+        levels = build_hierarchy(list(n), list(dx), ell_bc, aco, list(beta),
+                                 alpha)
 
-    def ocond(carry):
-        p, k, rn, stalled = carry
-        go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
-        return jnp.logical_and(go, jnp.logical_not(stalled))
+        def resnorm(p):
+            return jnp.max(jnp.abs(rhs - cc_apply(levels[0], p, bvals)))
 
-    def obody(carry):
-        p, k, rn, _ = carry
-        tl = tol_eff(p)
-        p, mon = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
-                         return_resnorm=True)
-        p, k, mon, _, _ = jax.lax.while_loop(
-            icond, ibody, (p, k + 1, mon, big, tl))
-        return p, k, resnorm(p), mon > tl
+        # Nested tolerance loop: the INNER loop runs V-cycles gated by the
+        # free in-cycle monitor (each cycle's post-pre-smooth residual — no
+        # extra operator application per cycle); the OUTER loop verifies
+        # with ONE true residual evaluation per pass and re-enters only if
+        # the tolerance is genuinely unmet AND the inner loop did not stall.
+        def icond(c):
+            _, kk, mon, prev, tl = c
+            return jnp.logical_and(
+                jnp.logical_and(kk < max_cycles, mon > tl), mon < 0.7 * prev)
 
-    phi, iters, rn, _ = jax.lax.while_loop(
-        ocond, obody, (phi, jnp.array(0), resnorm(phi), jnp.array(False)))
+        def ibody(c):
+            p, kk, mon, _, tl = c
+            p, mon2 = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
+                              return_resnorm=True)
+            return p, kk + 1, mon2, mon, tl
+
+        def ocond(carry):
+            p, k, rn, stalled = carry
+            go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
+            return jnp.logical_and(go, jnp.logical_not(stalled))
+
+        def obody(carry):
+            p, k, rn, _ = carry
+            tl = tol_eff(p)
+            p, mon = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
+                             return_resnorm=True)
+            p, k, mon, _, _ = jax.lax.while_loop(
+                icond, ibody, (p, k + 1, mon, big, tl))
+            return p, k, resnorm(p), mon > tl
+
+        phi, iters, rn, _ = jax.lax.while_loop(
+            ocond, obody, (phi, jnp.array(0), rn0, jnp.array(False)))
+        return phi, rn, iters
+
+    def skip_branch(phi):
+        return phi, rn0, jnp.array(0)
+
+    phi, rn, iters = jax.lax.cond(rn0 > tol_eff(phi), mg_branch, skip_branch,
+                                  phi)
     if singular:
         phi = phi - jnp.mean(phi)
     if return_info:

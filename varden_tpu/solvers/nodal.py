@@ -271,7 +271,6 @@ def _pallas_nodal(level: "NodalLevel", phi, rhs, omega, emit):
     from ..ops import pallas_kernels as pk
     if not pk.nodal_supported(level):
         return None
-    K = element_matrix(level.dx)
     phi_pad = _pad_node(phi, level.pmask, level.dm)
     sig_np = _sigma_np(level.sigma, level.pmask, level.dm)
     if emit == "jacobi":
@@ -280,8 +279,8 @@ def _pallas_nodal(level: "NodalLevel", phi, rhs, omega, emit):
     else:
         rhs = jnp.zeros_like(phi) if rhs is None else rhs
         inv = rhs  # unread in apply mode
-    return pk.nodal_sweep_3d(phi_pad, sig_np, rhs, inv, K, omega=omega,
-                             emit=emit)
+    return pk.nodal_sweep_3d(phi_pad, sig_np, rhs, inv, level.dx,
+                             omega=omega, emit=emit)
 
 
 def nd_apply_raw(level: NodalLevel, phi):
@@ -562,8 +561,9 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
           return_info=False):
     """Solve A(sigma) phi = rhs on the node lattice. Returns (phi, resnorm)."""
     dm = len(n)
-    levels = build_hierarchy(list(n), list(dx), list(pmask), sigma, mask)
     singular = mask is None
+    L0 = NodalLevel(tuple(n), tuple(dx), tuple(pmask), sigma,
+                    node_diag(sigma, dx, pmask, dm), mask)
 
     if mask is not None:
         rhs = rhs * mask
@@ -576,8 +576,8 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
     tol = jnp.maximum(rel_eps * bnorm,
                       jnp.asarray(0.0 if abs_eps < 0 else abs_eps, rhs.dtype))
 
-    def resnorm(phi):
-        return jnp.max(jnp.abs(rhs - nd_apply(levels[0], phi)))
+    def resnorm0(phi):
+        return jnp.max(jnp.abs(rhs - nd_apply(L0, phi)))
 
     big = jnp.asarray(jnp.finfo(rhs.dtype).max, rhs.dtype)
 
@@ -586,39 +586,56 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
     # and the effective tolerance includes the dtype's computable residual
     # floor (~eps * diag * |phi|). Mean normalization of the singular
     # solution is deferred to the end (the regularized bottom solve keeps
-    # the drift bounded).
-    diag_max = jnp.max(jnp.abs(levels[0].diag))
+    # the drift bounded). All multigrid machinery (hierarchy coarsening,
+    # cycles, bottom solve) sits in a lax.cond branch that only executes
+    # when the warm start misses tolerance.
+    diag_max = jnp.max(jnp.abs(L0.diag))
     eps_mach = jnp.asarray(jnp.finfo(rhs.dtype).eps, rhs.dtype)
 
     def tol_eff(p):
         floor = 2.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))
         return jnp.maximum(tol, floor)
 
-    def icond(c):
-        _, kk, mon, prev, tl = c
-        return jnp.logical_and(jnp.logical_and(kk < max_cycles, mon > tl),
-                               mon < 0.7 * prev)
+    rn0 = resnorm0(phi0)
 
-    def ibody(c):
-        p, kk, mon, _, tl = c
-        p, mon2 = v_cycle(levels, p, rhs, return_resnorm=True)
-        return p, kk + 1, mon2, mon, tl
+    def mg_branch(phi):
+        levels = build_hierarchy(list(n), list(dx), list(pmask), sigma, mask)
 
-    def ocond(carry):
-        p, k, rn, stalled = carry
-        go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
-        return jnp.logical_and(go, jnp.logical_not(stalled))
+        def resnorm(p):
+            return jnp.max(jnp.abs(rhs - nd_apply(levels[0], p)))
 
-    def obody(carry):
-        p, k, rn, _ = carry
-        tl = tol_eff(p)
-        p, mon = v_cycle(levels, p, rhs, return_resnorm=True)
-        p, k, mon, _, _ = jax.lax.while_loop(
-            icond, ibody, (p, k + 1, mon, big, tl))
-        return p, k, resnorm(p), mon > tl
+        def icond(c):
+            _, kk, mon, prev, tl = c
+            return jnp.logical_and(
+                jnp.logical_and(kk < max_cycles, mon > tl), mon < 0.7 * prev)
 
-    phi, iters, rn, _ = jax.lax.while_loop(
-        ocond, obody, (phi0, jnp.array(0), resnorm(phi0), jnp.array(False)))
+        def ibody(c):
+            p, kk, mon, _, tl = c
+            p, mon2 = v_cycle(levels, p, rhs, return_resnorm=True)
+            return p, kk + 1, mon2, mon, tl
+
+        def ocond(carry):
+            p, k, rn, stalled = carry
+            go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
+            return jnp.logical_and(go, jnp.logical_not(stalled))
+
+        def obody(carry):
+            p, k, rn, _ = carry
+            tl = tol_eff(p)
+            p, mon = v_cycle(levels, p, rhs, return_resnorm=True)
+            p, k, mon, _, _ = jax.lax.while_loop(
+                icond, ibody, (p, k + 1, mon, big, tl))
+            return p, k, resnorm(p), mon > tl
+
+        phi, iters, rn, _ = jax.lax.while_loop(
+            ocond, obody, (phi, jnp.array(0), rn0, jnp.array(False)))
+        return phi, rn, iters
+
+    def skip_branch(phi):
+        return phi, rn0, jnp.array(0)
+
+    phi, rn, iters = jax.lax.cond(rn0 > tol_eff(phi0), mg_branch, skip_branch,
+                                  phi0)
     if singular:
         phi = phi - jnp.mean(phi)
     if return_info:

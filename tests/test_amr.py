@@ -74,3 +74,52 @@ def test_amr_rt_3lev():
         # the 1e-5 level (as the reference's own min/max logs do)
         assert rho.min() > 1.0 - 1e-3 and rho.max() < 2.0 + 1e-3
         assert np.isfinite(np.asarray(st.u)).all()
+
+
+def test_grow_mac_linear_exact():
+    """create_umac_grown parity: the two-stage linear interpolation must
+    reproduce a globally linear MAC field exactly on the fine tangential
+    ghost faces (reference create_umac_grown.f90, consumed at
+    velpred.f90:102-106)."""
+    from varden_tpu.state import Sim
+    from varden_tpu.amr.fill import MLGeom
+    from varden_tpu.amr.hierarchy import LevelSpec, domain_spec
+    from varden_tpu.amr.advance_ml import grow_mac_ml
+
+    sim = Sim(_cfg(n_cellx=32, n_celly=32))
+    ng = sim.ng
+    child = LevelSpec((16, 24), (24, 16))   # well inside the 64^2 fine domain
+    geom = MLGeom(sim, [domain_spec(sim.n_cell, 0), child])
+
+    coef = [(0.3, -0.7, 1.1), (-0.45, 0.2, 0.6)]  # (ax, ay, b) per component
+
+    def mac_level(spec, lev):
+        h = sim.dx[0] / 2 ** lev
+        out = []
+        for d in range(2):
+            shape = tuple(spec.n[t] + (1 if t == d else 0) for t in range(2))
+            idx = np.indices(shape, dtype=np.float64)
+            vals = coef[d][2]
+            for t in range(2):
+                pos = (spec.lo[t] + idx[t] + (0.0 if t == d else 0.5)) * h
+                vals = vals + coef[d][t] * pos
+            out.append(jnp.asarray(vals))
+        return tuple(out)
+
+    umac_l = [mac_level(geom.specs[0], 0), mac_level(child, 1)]
+    grown = grow_mac_ml(geom, umac_l, 1, ng)
+    h1 = sim.dx[0] / 2
+    for d in range(2):
+        arr = np.asarray(grown[d])
+        # the valid region: fine faces + ONE tangential ghost layer
+        sl = tuple(slice(ng - (0 if t == d else 1),
+                         ng + child.n[t] + (1 if t == d else 0)
+                         + (0 if t == d else 1)) for t in range(2))
+        idx = np.indices(arr[sl].shape, dtype=np.float64)
+        vals = coef[d][2]
+        for t in range(2):
+            g = 0 if t == d else 1
+            pos = (child.lo[t] - g + idx[t] + (0.0 if t == d else 0.5)) * h1
+            vals = vals + coef[d][t] * pos
+        err = np.max(np.abs(arr[sl] - vals))
+        assert err < 1e-12, f"component {d}: {err}"

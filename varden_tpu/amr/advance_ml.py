@@ -49,9 +49,14 @@ def grow_mac_ml(geom: MLGeom, umac_l, lev: int, ng: int):
     """Cell-aligned padded MAC arrays with one valid tangential ghost layer.
 
     Level 0 wraps/extrapolates (bc.grow_mac); finer levels take coarse-fine
-    tangential ghosts from the parent's MAC field (create_umac_grown,
-    SURVEY.md §2b) — linear in the normal direction, piecewise-constant
-    tangentially (ghost faces only feed transverse terms near the interface).
+    tangential ghosts from the parent's MAC field — the two-stage linear
+    interpolation of create_umac_grown.f90 (consumed at velpred.f90:102-106):
+    linear in the normal direction (even fine faces coincide with coarse
+    faces, odd ones average the bracketing pair) and linear tangentially
+    (the 3/4-1/4 face-prolongation rule: the two fine faces inside coarse
+    cell i sit at +-h/4 of its center, so fine = 3/4 c[i] + 1/4 c[i -+ 1]).
+    A globally linear MAC field is reproduced exactly on interior ghost
+    faces (tests/test_amr.py::test_grow_mac_linear_exact).
     """
     from ..advance import embed_faces
     sim = geom.sim
@@ -89,7 +94,22 @@ def grow_mac_ml(geom: MLGeom, umac_l, lev: int, ng: int):
                 sl[axis] = slice(0, 2 * cu.shape[axis] - 1)
                 up = up[tuple(sl)]
             else:
-                up = jnp.repeat(up, 2, axis=axis)
+                take = [slice(None)] * up.ndim
+                take[axis] = slice(0, 1)
+                first = up[tuple(take)]
+                take[axis] = slice(-1, None)
+                last = up[tuple(take)]
+                body = [slice(None)] * up.ndim
+                body[axis] = slice(0, -1)
+                prv = jnp.concatenate([first, up[tuple(body)]], axis=axis)
+                body[axis] = slice(1, None)
+                nxt = jnp.concatenate([up[tuple(body)], last], axis=axis)
+                lo_f = 0.75 * up + 0.25 * prv   # fine face 2i (clamped edge)
+                hi_f = 0.75 * up + 0.25 * nxt   # fine face 2i+1
+                st = jnp.stack([lo_f, hi_f], axis=axis + 1)
+                shp = list(up.shape)
+                shp[axis] = 2 * up.shape[axis]
+                up = st.reshape(shp)
         # up: fine-index face field with origin (2*pspec.lo); clip the source
         # window where the ghost ring would leave the parent's face range
         # (a box corner on the domain boundary — those ghost faces feed only
@@ -326,6 +346,14 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     vf_pads = [pad_ml_multi(geom, vf_l, [sim.extrap_comp] * dm, l, ng)
                for l in range(nlev)]
     adv_bc_vel = [sim.adv_bc[d] for d in range(dm)]
+    # the fused Pallas Godunov tiles run per level exactly as on the single
+    # level (the reference runs the SAME kernels at every level,
+    # advance_timestep.f90:26); levels too small for the tile plan fall
+    # back to the windowed path
+    from ..ops import pallas_godunov
+    fused_l = [dm == 3 and not cfg.use_godunov_debug and
+               pallas_godunov.tiles_supported(geom.specs[l].n, sim.dtype, ng)
+               for l in range(nlev)]
     umac_l = []
     for l in range(nlev):
         pb = geom.phys_bc_level(l)
@@ -333,6 +361,10 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
             umac = godunov.velpred_2d(u_pads[l], vf_pads[l], dt, geom.dx(l),
                                       pb, adv_bc_vel, ng, geom.specs[l].n,
                                       cfg.slope_order, cfg.use_minion)
+        elif fused_l[l]:
+            umac = pallas_godunov.velpred_3d_fused(
+                u_pads[l], vf_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
+                geom.specs[l].n, cfg.slope_order, cfg.use_minion)
         else:
             umac = godunov3d.velpred_3d(u_pads[l], vf_pads[l], dt, geom.dx(l),
                                         pb, adv_bc_vel, ng, geom.specs[l].n,
@@ -387,6 +419,13 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                 cfg.use_minion)
             sedge_l.append((ex, ey))
             sflux_l.append((fx, fy))
+        elif fused_l[l]:
+            se, sf = pallas_godunov.mkflux_3d_fused(
+                s_pads[l], mac_pads_l[l], sf_pads[l], mrhs_pads[l], dt,
+                geom.dx(l), pb, adv_bc_scal, ng, geom.specs[l].n, False,
+                is_cons, cfg.slope_order, cfg.use_minion)
+            sedge_l.append(se)
+            sflux_l.append(sf)
         else:
             se, sf = godunov3d.mkflux_3d(
                 s_pads[l], mac_pads_l[l], sf_pads[l], mrhs_pads[l], dt,
@@ -445,6 +484,13 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                 cfg.use_minion)
             uedge_l.append((ex, ey))
             uflux_l.append((fx, fy))
+        elif fused_l[l]:
+            se, sf = pallas_godunov.mkflux_3d_fused(
+                u_pads[l], mac_pads_l[l], vf_pads[l], mrhs_pads[l], dt,
+                geom.dx(l), pb, adv_bc_vel, ng, geom.specs[l].n, True,
+                vel_is_cons, cfg.slope_order, cfg.use_minion)
+            uedge_l.append(se)
+            uflux_l.append(sf)
         else:
             se, sf = godunov3d.mkflux_3d(
                 u_pads[l], mac_pads_l[l], vf_pads[l], mrhs_pads[l], dt,

@@ -186,7 +186,9 @@ def compute_specs(sim: Sim, states: List[State], specs: List[LevelSpec]
         if child is None:
             break
         if tags.any():
-            boxes = cluster_tagged(tags)
+            boxes = cluster_tagged(tags, min_eff=sim.cfg.cluster_min_eff,
+                                   blocking=sim.cfg.cluster_blocking_factor,
+                                   min_width=sim.cfg.cluster_min_width)
             if len(boxes) > 1:
                 cover = sum(int(np.prod([h[d] - lo[d] for d in range(tags.ndim)]))
                             for lo, h in boxes)

@@ -35,16 +35,59 @@ def make_mesh(n_devices: Optional[int] = None, shape: Optional[Tuple[int, ...]] 
     return Mesh(np.array(devices[:n]).reshape(shape), axis_names[:len(shape)])
 
 
-def state_shardings(sim: Sim, mesh: Mesh) -> State:
-    """NamedShardings for a State pytree: cell fields sharded over the first
-    two spatial axes, the (n+1)-noded pressure replicated (its solves
-    coarsen below tile size quickly anyway)."""
+def _axis_sizes(mesh: Mesh):
+    return dict(zip(mesh.axis_names, mesh.devices.shape))
+
+
+def _node_spec(sim: Sim, mesh: Mesh, shape) -> P:
+    """Per-axis node sharding: shard an axis only when its node count is a
+    multiple of the mesh axis size (JAX requires even shards). Periodic axes
+    carry exactly n nodes and shard like cells; wall/inlet axes carry n+1
+    and stay replicated along that mesh axis."""
+    sizes = _axis_sizes(mesh)
     names = mesh.axis_names
-    cell_spec = [None] + [names[i] if i < len(names) else None
-                          for i in range(sim.dm)]
-    cell = NamedSharding(mesh, P(*cell_spec))
-    node = NamedSharding(mesh, P())
+    spec = []
+    for d in range(sim.dm):
+        nm = names[d] if d < len(names) else None
+        if nm is not None and shape[d] % sizes[nm] == 0:
+            spec.append(nm)
+        else:
+            spec.append(None)
+    return P(*spec)
+
+
+def state_shardings(sim: Sim, mesh: Mesh) -> State:
+    """NamedShardings for a State pytree: cell fields (leading component
+    axis) and the nodal pressure sharded over the first two spatial axes —
+    the reference decomposes nodal multifabs over the same boxes as cell
+    ones (hgproject.f90's layout is the cell layout). Node axes whose count
+    (n+1 on physical axes) does not divide the mesh stay replicated on that
+    axis (JAX requires even shards)."""
+    from ..solvers.nodal import node_shape
+    names = mesh.axis_names
+    spatial = [names[i] if i < len(names) else None for i in range(sim.dm)]
+    cell = NamedSharding(mesh, P(*([None] + spatial)))
+    nshape = node_shape(sim.n_cell, sim.pmask)
+    node = NamedSharding(mesh, _node_spec(sim, mesh, nshape))
     return State(u=cell, s=cell, gp=cell, p=node)
+
+
+def hint_shardings(sim: Sim, mesh: Mesh, hints: dict) -> dict:
+    """Shardings for a projection-hints dict: phi_mac* are cell-shaped
+    (no component axis), phi_hg* node-shaped (replicated on uneven axes)."""
+    names = mesh.axis_names
+    spatial = [names[i] if i < len(names) else None for i in range(sim.dm)]
+    cell = NamedSharding(mesh, P(*spatial))
+    out = {}
+    for k, v in hints.items():
+        out[k] = NamedSharding(mesh, _node_spec(sim, mesh, v.shape)) \
+            if k.startswith("phi_hg") else cell
+    return out
+
+
+def shard_hints(hints: dict, sim: Sim, mesh: Mesh) -> dict:
+    sh = hint_shardings(sim, mesh, hints)
+    return {k: jax.device_put(v, sh[k]) for k, v in hints.items()}
 
 
 def shard_state(state: State, sim: Sim, mesh: Mesh) -> State:

@@ -48,6 +48,17 @@ def embed_faces(sim: Sim, umac, ng: int):
 
 
 def lap_velocity(sim: Sim, u: jnp.ndarray) -> jnp.ndarray:
+    dm = sim.dm
+    bcs = [([tuple(sim.ell_bc[d][t]) for t in range(dm)],
+            [[sim.bvals[d][t][s] for s in range(2)] for t in range(dm)])
+           for d in range(dm)]
+    if all(b == bcs[0] for b in bcs[1:]):
+        # identical BCs across components (e.g. NO_SLIP): one batched
+        # laplacian — the ghost pad + stencil run once over the stacked
+        # components instead of dm sequential passes
+        from .solvers import mg
+        ell_bc, bvals = bcs[0]
+        return mg.laplacian(u, sim.n_cell, sim.dx, ell_bc, bvals)
     return jnp.stack([projection.get_explicit_diffusive_term(sim, u[d], d)
                       for d in range(sim.dm)])
 

@@ -83,6 +83,120 @@ def test_gsrb_2d_fused_matches_unfused():
     assert np.max(np.abs(np.array(fused - phi_ref))) < 1e-11
 
 
+def test_gsrb_const_kernel_fixed_point_and_rate():
+    """Fused constant-coefficient Helmholtz sweep (interpret mode):
+    (a) an exact solution is a fixed point and its emitted residual is ~0
+    (validates the in-kernel BC ghost construction + stencil against
+    cc_apply bitwise-tightly); (b) as a smoother it contracts the residual
+    at the unfused GSRB rate; (c) batched operands agree with per-field
+    calls."""
+    n = (16, 8, 128)
+    dx = (0.1, 0.11, 0.12)
+    rng = np.random.RandomState(4)
+    ell_bc = [(BC_DIR, BC_NEU), (BC_DIR, BC_DIR), (BC_PER, BC_PER)]
+    beta = (0.37, 0.41, 0.29)
+    alpha = 1.0
+    aco = jnp.asarray(1.0 + rng.rand(*n))
+    level = mg.make_level(n, dx, ell_bc, aco, beta, alpha)
+    bv = [[0.2, 0.0], [0.1, -0.3], [0.0, 0.0]]
+    inv_diag = 1.0 / level.diag
+    coef = jnp.stack([jnp.asarray(beta[d] / dx[d] ** 2) for d in range(3)]
+                     + [jnp.asarray(alpha)])
+
+    # (a) fixed point + residual emit
+    phi_ex = jnp.asarray(rng.rand(*n) - 0.5)
+    rhs_ex = mg.cc_apply(level, phi_ex, bv)
+    out = pk.gsrb_const_sweep_3d(phi_ex[None], rhs_ex[None], inv_diag, coef,
+                                 ell_bc, bv, aco=aco, interpret=True)
+    assert out is not None
+    assert np.max(np.abs(np.array(out[0] - phi_ex))) < 1e-11
+    res = pk.gsrb_const_sweep_3d(phi_ex[None], rhs_ex[None], inv_diag, coef,
+                                 ell_bc, bv, aco=aco, emit="residual",
+                                 interpret=True)
+    assert np.max(np.abs(np.array(res))) < 1e-11
+
+    # (b) contraction rate matches the unfused GSRB within 10%
+    rhs = jnp.asarray(rng.rand(*n) - 0.5)
+    phi0 = jnp.asarray(rng.rand(*n) - 0.5)
+
+    def resnorm(p):
+        return float(jnp.max(jnp.abs(rhs - mg.cc_apply(level, p, bv))))
+
+    p_f = phi0
+    for _ in range(3):
+        p_f = pk.gsrb_const_sweep_3d(p_f[None], rhs[None], inv_diag, coef,
+                                     ell_bc, bv, aco=aco, interpret=True)[0]
+    p_u = mg.gsrb(level, phi0, rhs, bv, 3)
+    assert resnorm(p_f) < 1.1 * resnorm(p_u)
+
+    # (c) batching == stacked independent calls
+    rhs2 = jnp.stack([rhs, rhs_ex])
+    phi2 = jnp.stack([phi0, phi_ex])
+    both = pk.gsrb_const_sweep_3d(phi2, rhs2, inv_diag, coef, ell_bc, bv,
+                                  aco=aco, interpret=True)
+    one = pk.gsrb_const_sweep_3d(phi0[None], rhs[None], inv_diag, coef,
+                                 ell_bc, bv, aco=aco, interpret=True)
+    assert np.max(np.abs(np.array(both[0] - one[0]))) < 1e-12
+    assert np.max(np.abs(np.array(both[1] - out[0]))) < 1e-12
+
+
+def test_gsrb_var_kernel_fixed_point_restrict():
+    """Fused variable-beta kernel (interpret mode): exact solutions are
+    fixed points of the sweep; emit='residual' matches cc_apply; emit=
+    'restrict' returns (avg-down residual, |r|_inf) matching the unfused
+    pair; and the sweep contracts at the unfused GSRB rate."""
+    n = (16, 8, 128)
+    dx = (0.1, 0.11, 0.12)
+    rng = np.random.RandomState(7)
+    ell_bc = [(BC_NEU, BC_DIR), (BC_DIR, BC_NEU), (BC_PER, BC_PER)]
+    beta = tuple(jnp.asarray(0.5 + rng.rand(*[n[t] + (1 if t == d else 0)
+                                              for t in range(3)]))
+                 for d in range(3))
+    aco = jnp.zeros(n)
+    level = mg.make_level(n, dx, ell_bc, aco, beta, 0.0)
+    bv = [[0.0, 0.3], [0.15, 0.0], [0.0, 0.0]]
+    inv_diag = 1.0 / level.diag
+
+    phi_ex = jnp.asarray(rng.rand(*n) - 0.5)
+    rhs_ex = mg.cc_apply(level, phi_ex, bv)
+    out = pk.gsrb_var_sweep_3d(phi_ex, rhs_ex, inv_diag, beta, dx, ell_bc,
+                               bv, interpret=True)
+    assert out is not None
+    assert np.max(np.abs(np.array(out - phi_ex))) < 1e-11
+
+    res = pk.gsrb_var_sweep_3d(phi_ex, rhs_ex, inv_diag, beta, dx, ell_bc,
+                               bv, emit="residual", interpret=True)
+    assert np.max(np.abs(np.array(res))) < 1e-11
+
+    rhs = jnp.asarray(rng.rand(*n) - 0.5)
+    phi0 = jnp.asarray(rng.rand(*n) - 0.5)
+    crs, rmax = pk.gsrb_var_sweep_3d(phi0, rhs, inv_diag, beta, dx, ell_bc,
+                                     bv, emit="restrict", interpret=True)
+    r_ref = rhs - mg.cc_apply(level, phi0, bv)
+    crs_ref = mg._cell_avg_down(r_ref, 3)
+    assert np.max(np.abs(np.array(crs - crs_ref))) < 1e-11
+    assert abs(float(rmax) - float(jnp.max(jnp.abs(r_ref)))) < 1e-11
+
+    def resnorm(p):
+        return float(jnp.max(jnp.abs(rhs - mg.cc_apply(level, p, bv))))
+
+    p_f = phi0
+    for _ in range(3):
+        p_f = pk.gsrb_var_sweep_3d(p_f, rhs, inv_diag, beta, dx, ell_bc, bv,
+                                   interpret=True)
+    p_u = mg.gsrb(level, phi0, rhs, bv, 3)
+    assert resnorm(p_f) < 1.1 * resnorm(p_u)
+
+    # Helmholtz form (alpha != 0, aco array)
+    aco2 = jnp.asarray(1.0 + rng.rand(*n))
+    lev2 = mg.make_level(n, dx, ell_bc, aco2, beta, 1.0)
+    rhs2 = mg.cc_apply(lev2, phi_ex, bv)
+    out2 = pk.gsrb_var_sweep_3d(phi_ex, rhs2, 1.0 / lev2.diag, beta, dx,
+                                ell_bc, bv, aco=aco2, alpha=1.0,
+                                interpret=True)
+    assert np.max(np.abs(np.array(out2 - phi_ex))) < 1e-11
+
+
 def _nodal_level(n, pmask, seed=2):
     from varden_tpu.solvers import nodal
     rng = np.random.RandomState(seed)

@@ -66,9 +66,11 @@ class _Plan:
         yb = -(-(TY + 2 * ng) // 8) * 8
         zb = n2 + 2 * ng
         live_slabs = 50 if heavy else 62
+        budget_mb = float(os.environ.get("VARDEN_GODUNOV_VMEM_MB", "38"))
         self.tx = 0
-        for t in ((12, 8, 4, 2, 1) if heavy else (8, 4, 2, 1)):
-            if live_slabs * (t + 2 * ng) * yb * zb * 4 < 15.5 * 2 ** 20:
+        for t in ((24, 16, 12, 8, 4, 2, 1) if heavy
+                  else (24, 16, 8, 4, 2, 1)):
+            if live_slabs * (t + 2 * ng) * yb * zb * 4 < budget_mb * 2 ** 20:
                 self.tx = t
                 break
         if self.tx == 0:      # untiled z axis too large for any VMEM tile
@@ -266,6 +268,8 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
         in_specs=[_in_spec(p, 3), _in_spec(p, 3),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[_out_spec(p), _out_spec(p), _out_spec(p, zfaces=True)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(u, force, scal)
 
@@ -356,6 +360,8 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
                        _out_spec(p, 1, zfaces=True),
                        _out_spec(p, 1), _out_spec(p, 1),
                        _out_spec(p, 1, zfaces=True)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(s[c:c + 1], mac_pads[0], mac_pads[1], mac_pads[2],
           force[c:c + 1], mac_rhs, scal))

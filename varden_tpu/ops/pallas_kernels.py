@@ -238,6 +238,421 @@ def gsrb_supported(level) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Constant-coefficient Helmholtz smoother (visc_solve / diff_scalar_solve)
+# ---------------------------------------------------------------------------
+#
+# The Helmholtz solves (reference viscsolve.f90:19-145) have SCALAR beta —
+# no face-coefficient arrays exist — and at CFL-limited dt they are settled
+# by a handful of smoother sweeps (mg.solve's diagonally-dominant fast
+# path). The XLA smoother pays ~5x its bandwidth bound per sweep: the
+# 1-ghost pad is three sequential full-array concatenates (each a relayout
+# to a lane-misaligned 258-wide buffer). This kernel keeps every HBM
+# operand UNPADDED (256-lane aligned) and realizes the boundary conditions
+# on the VMEM tile: y/z ghosts are built in-kernel from the resident full
+# extents, and the x halo comes from a clamped element window plus an
+# in-kernel ghost formula at the two domain-edge tiles.
+
+# elliptic BC codes (bc.py:35-37 + mg.BC_GHOST)
+_BC_PER, _BC_NEU, _BC_DIR, _BC_GHOST = 0, 1, 2, 3
+
+
+def _ghost_planes(p, axis, lo_bc, hi_bc, blo, bhi):
+    """Boundary ghost planes for a VMEM-resident axis (full extent):
+    DIR: quadratic face-value formula; NEU: copy; PER: wrap; GHOST: zero."""
+    def take(i0, i1):
+        sl = [slice(None)] * p.ndim
+        sl[axis] = slice(i0, i1)
+        return p[tuple(sl)]
+
+    if lo_bc == _BC_PER:
+        lo = take(-1, None)
+    elif lo_bc == _BC_NEU:
+        lo = take(0, 1)
+    elif lo_bc == _BC_GHOST:
+        lo = jnp.zeros_like(take(0, 1))
+    else:
+        lo = (8.0 / 3.0) * blo - 2.0 * take(0, 1) + (1.0 / 3.0) * take(1, 2)
+    if hi_bc == _BC_PER:
+        hi = take(0, 1)
+    elif hi_bc == _BC_NEU:
+        hi = take(-1, None)
+    elif hi_bc == _BC_GHOST:
+        hi = jnp.zeros_like(take(-1, None))
+    else:
+        hi = (8.0 / 3.0) * bhi - 2.0 * take(-1, None) + (1.0 / 3.0) * take(-2, -1)
+    return lo, hi
+
+
+def _gsrb_const_kernel_3d(coef_ref, phi_ref, rhs_ref, inv_diag_ref, aco_ref,
+                          out_ref, *, tx, nblk, ell_bc, bvals, use_alpha,
+                          emit):
+    """One fused red+black sweep on a (tx, n1, n2) block of a batched
+    constant-coefficient Helmholtz problem.
+
+    coef_ref (SMEM, shape (4,)): beta/dx0^2, beta/dx1^2, beta/dx2^2, alpha
+    (traced scalars — beta = mu*dt rides on a traced dt).
+    phi_ref: element window (1, tx+2, n1, n2) whose x offset is CLAMPED to
+    the array bounds; the kernel re-centers via a per-tile shift and
+    replaces the missing outermost plane with the boundary ghost formula.
+    """
+    i = pl.program_id(1)
+    n1, n2 = phi_ref.shape[2], phi_ref.shape[3]
+    # x window shift: interior rows sit at [s, s+tx); s=1 except at the
+    # clamped edge tiles (0 at i==0, 2 at i==nblk-1)
+    s = jnp.where(i == 0, 0, jnp.where(i == nblk - 1, 2, 1))
+    core = phi_ref[0, pl.ds(s, tx)]
+    # neighbor planes (any valid row when unused; the where picks the ghost)
+    lo_n = phi_ref[0, pl.ds(jnp.maximum(s - 1, 0), 1)]
+    hi_n = phi_ref[0, pl.ds(jnp.minimum(s + tx, tx + 1), 1)]
+
+    bdx0 = coef_ref[0]
+    bdx1 = coef_ref[1]
+    bdx2 = coef_ref[2]
+    alpha = coef_ref[3]
+    rhs = rhs_ref[0]
+    inv_diag = inv_diag_ref[...]
+
+    def lphi(c):
+        """L(c) via shifted-slice neighbor arrays — every temp keeps the
+        (tx, n1, n2) lane-aligned layout (a fully padded (n2+2)-wide array
+        would round its lane dim up to n2+128)."""
+        lo_g, hi_g = _ghost_planes(c, 0, ell_bc[0][0], ell_bc[0][1],
+                                   bvals[0][0], bvals[0][1])
+        xlo = jnp.where(i == 0, lo_g, lo_n)
+        xhi = jnp.where(i == nblk - 1, hi_g, hi_n)
+        xm = jnp.concatenate([xlo, c[:-1]], axis=0)
+        xp = jnp.concatenate([c[1:], xhi], axis=0)
+        ylo, yhi = _ghost_planes(c, 1, ell_bc[1][0], ell_bc[1][1],
+                                 bvals[1][0], bvals[1][1])
+        ym = jnp.concatenate([ylo, c[:, :-1]], axis=1)
+        yp = jnp.concatenate([c[:, 1:], yhi], axis=1)
+        zlo, zhi = _ghost_planes(c, 2, ell_bc[2][0], ell_bc[2][1],
+                                 bvals[2][0], bvals[2][1])
+        zm = jnp.concatenate([zlo, c[:, :, :-1]], axis=2)
+        zp = jnp.concatenate([c[:, :, 1:], zhi], axis=2)
+        out = -(bdx0 * (xp + xm - 2.0 * c)
+                + bdx1 * (yp + ym - 2.0 * c)
+                + bdx2 * (zp + zm - 2.0 * c))
+        if use_alpha:
+            out = out + alpha * aco_ref[...] * c
+        return out
+
+    if emit == "residual":
+        out_ref[0] = rhs - lphi(core)
+        return
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tx, n1, n2), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tx, n1, n2), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (tx, n1, n2), 2)
+    red = ((ix + iy + iz + i * tx) % 2 == 0).astype(rhs.dtype)
+
+    r = rhs - lphi(core)
+    new_int = core + red * r * inv_diag
+    r = rhs - lphi(new_int)
+    out_ref[0] = new_int + (1.0 - red) * r * inv_diag
+
+
+def _gsrb_const_block_bytes(tx, n):
+    """f32 VMEM bytes for one block: operands (all lane-aligned — the
+    kernel never materializes an (n2+2)-wide temp) plus ~6 core-sized
+    live stencil temporaries (measured fit: tx=8 at 256^3)."""
+    def sz(a, b, c):
+        return a * ((b + 7) // 8 * 8) * ((c + 127) // 128 * 128)
+    return 4 * (sz(tx + 2, n[1], n[2])            # phi window
+                + 4 * sz(tx, n[1], n[2])          # rhs/inv_diag/aco/out
+                + 6 * sz(tx, n[1], n[2]))         # kernel stencil temps
+
+
+def gsrb_const_supported(n, ell_bc, dtype) -> bool:
+    """Fused constant-coefficient sweep available? 3-D, f32-on-TPU,
+    non-periodic x (the clamped window cannot wrap), tiles fit VMEM."""
+    if os.environ.get("VARDEN_NO_PALLAS_GSRB") or not HAVE_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(n) != 3 or dtype not in (jnp.float32, jnp.dtype("float32")):
+        return False
+    if ell_bc[0][0] == _BC_PER or ell_bc[0][1] == _BC_PER:
+        return False
+    if any(s < 8 or s % 2 for s in n):
+        return False
+    return _pick_const_tx(n) is not None
+
+
+def _pick_const_tx(n):
+    force = os.environ.get("VARDEN_GSRB_CONST_TX")
+    if force:
+        t = int(force)
+        return t if n[0] % t == 0 and n[0] // t >= 2 else None
+    for t in (32, 16, 8, 4, 2):
+        if n[0] % t == 0 and n[0] // t >= 2 and \
+                _gsrb_const_block_bytes(t, n) < 26 * 1024 * 1024:
+            return t
+    return None
+
+
+def gsrb_const_sweep_3d(phi, rhs, inv_diag, coef, ell_bc, bvals,
+                        aco=None, *, emit="sweep", interpret=False):
+    """One fused red-black sweep of (alpha*aco - beta lap) phi = rhs
+    (emit="sweep"), or the raw residual rhs - L(phi) (emit="residual").
+
+    phi/rhs: (B, n0, n1, n2) (a leading batch axis is required — pass
+    phi[None] for a single field); inv_diag/aco: (n0, n1, n2) shared across
+    the batch; coef: length-4 vector [beta/dx0^2, beta/dx1^2, beta/dx2^2,
+    alpha] (traced values fine). Returns updated phi, same shape.
+    """
+    B = phi.shape[0]
+    n = phi.shape[1:]
+    tx = _pick_const_tx(n)
+    if tx is None:
+        return None
+    nblk = n[0] // tx
+    use_alpha = aco is not None
+    if aco is None:
+        aco = inv_diag  # placeholder, unread
+    kern = functools.partial(
+        _gsrb_const_kernel_3d, tx=tx, nblk=nblk,
+        ell_bc=tuple(tuple(b) for b in ell_bc),
+        bvals=tuple(tuple(float(v) for v in bv) for bv in bvals),
+        use_alpha=use_alpha, emit=emit)
+
+    def phi_map(b, i):
+        return (b, jnp.clip(i * tx - 1, 0, n[0] - (tx + 2)), 0, 0)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B,) + tuple(n), phi.dtype),
+        grid=(B, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(tuple(pl.Element(b) for b in (1, tx + 2, n[1], n[2])),
+                         phi_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tx, n[1], n[2]), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, n[1], n[2]), lambda b, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, n[1], n[2]), lambda b, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tx, n[1], n[2]), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(coef, phi.dtype), phi, rhs, inv_diag, aco)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Variable-coefficient (face-beta) smoother with in-kernel BCs
+# ---------------------------------------------------------------------------
+#
+# The MAC projection operator has face-centered beta = 2/(rho_i + rho_{i-1})
+# (reference mk_mac_coeffs, macproject.f90:280-401). Same design as the
+# constant-coefficient kernel above: unpadded lane-aligned HBM operands,
+# boundary ghosts realized on the VMEM tile, clamped x windows. emit modes:
+#   "sweep"    — one fused red+black GSRB sweep
+#   "residual" — rhs - L(phi)
+#   "restrict" — (2x2x2 cell-average of the residual, per-block |r|_inf)
+#                i.e. the V-cycle down-leg after pre-smoothing in ONE pass
+#                (the separate residual/restrict passes are what made the
+#                V-cycle ~3x its bandwidth bound)
+
+
+def _gsrb_var_kernel_3d(phi_ref, rhs_ref, inv_diag_ref, aco_ref, bx_ref,
+                        by_ref, bz_ref, out_ref, *rest, tx, nblk, ell_bc,
+                        bvals, dxi2, alpha, emit):
+    i = pl.program_id(1)
+    n1, n2 = phi_ref.shape[2], phi_ref.shape[3]
+    s = jnp.where(i == 0, 0, jnp.where(i == nblk - 1, 2, 1))
+    core = phi_ref[0, pl.ds(s, tx)]
+    lo_n = phi_ref[0, pl.ds(jnp.maximum(s - 1, 0), 1)]
+    hi_n = phi_ref[0, pl.ds(jnp.minimum(s + tx, tx + 1), 1)]
+
+    rhs = rhs_ref[0]
+    bx = bx_ref[...]
+    by = by_ref[...]
+    bz = bz_ref[...]
+
+    def lphi(c):
+        lo_g, hi_g = _ghost_planes(c, 0, ell_bc[0][0], ell_bc[0][1],
+                                   bvals[0][0], bvals[0][1])
+        xlo = jnp.where(i == 0, lo_g, lo_n)
+        xhi = jnp.where(i == nblk - 1, hi_g, hi_n)
+        xm = jnp.concatenate([xlo, c[:-1]], axis=0)
+        xp = jnp.concatenate([c[1:], xhi], axis=0)
+        ylo, yhi = _ghost_planes(c, 1, ell_bc[1][0], ell_bc[1][1],
+                                 bvals[1][0], bvals[1][1])
+        ym = jnp.concatenate([ylo, c[:, :-1]], axis=1)
+        yp = jnp.concatenate([c[:, 1:], yhi], axis=1)
+        zlo, zhi = _ghost_planes(c, 2, ell_bc[2][0], ell_bc[2][1],
+                                 bvals[2][0], bvals[2][1])
+        zm = jnp.concatenate([zlo, c[:, :, :-1]], axis=2)
+        zp = jnp.concatenate([c[:, :, 1:], zhi], axis=2)
+        out = -(dxi2[0] * (bx[1:] * (xp - c) - bx[:-1] * (c - xm))
+                + dxi2[1] * (by[:, 1:] * (yp - c) - by[:, :-1] * (c - ym))
+                + dxi2[2] * (bz[:, :, 1:] * (zp - c)
+                             - bz[:, :, :-1] * (c - zm)))
+        if alpha != 0.0:
+            out = out + alpha * aco_ref[...] * c
+        return out
+
+    if emit == "residual":
+        out_ref[0] = rhs - lphi(core)
+        return
+    if emit == "restrict":
+        r = rhs - lphi(core)
+        max_ref = rest[0]
+        max_ref[0, i] = jnp.max(jnp.abs(r))
+        # 2x2x2 average WITHOUT strided vector slices (Mosaic supports
+        # neither 3-D gathers nor stride-2 extracts): the major axis pairs
+        # by static row indexing; the sublane/lane axes contract against a
+        # pair-averaging matrix on the MXU. Two dot_generals, no transposes:
+        # (a,b,c) -contract b-> (a,c,b/2) -contract c-> (a,b/2,c/2).
+        r = jnp.concatenate([0.5 * (r[2 * k:2 * k + 1] + r[2 * k + 1:2 * k + 2])
+                             for k in range(tx // 2)], axis=0)
+
+        def halve(m):
+            row = jax.lax.broadcasted_iota(jnp.int32, (m, m // 2), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (m, m // 2), 1)
+            return 0.5 * (row // 2 == col).astype(r.dtype)
+
+        r = jax.lax.dot_general(r, halve(n1), (((1,), (0,)), ((), ())),
+                                preferred_element_type=r.dtype,
+                                precision=jax.lax.Precision.HIGHEST)
+        r = jax.lax.dot_general(r, halve(n2), (((1,), (0,)), ((), ())),
+                                preferred_element_type=r.dtype,
+                                precision=jax.lax.Precision.HIGHEST)
+        out_ref[0] = r
+        return
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tx, n1, n2), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tx, n1, n2), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (tx, n1, n2), 2)
+    red = ((ix + iy + iz + i * tx) % 2 == 0).astype(rhs.dtype)
+    inv_diag = inv_diag_ref[...]
+
+    r = rhs - lphi(core)
+    new_int = core + red * r * inv_diag
+    r = rhs - lphi(new_int)
+    out_ref[0] = new_int + (1.0 - red) * r * inv_diag
+
+
+def _gsrb_var_block_bytes(tx, n):
+    def sz(a, b, c):
+        return a * ((b + 7) // 8 * 8) * ((c + 127) // 128 * 128)
+    return 4 * (sz(tx + 2, n[1], n[2])                 # phi window
+                + 4 * sz(tx, n[1], n[2])               # rhs/diag/aco/out
+                + sz(tx + 1, n[1], n[2])               # bx
+                + sz(tx, n[1] + 1, n[2])               # by
+                + sz(tx, n[1], n[2] + 1)               # bz (lane-padded)
+                + 6 * sz(tx, n[1], n[2]))              # stencil temps
+
+
+def _pick_var_tx(n):
+    force = os.environ.get("VARDEN_GSRB_VAR_TX")
+    if force:
+        t = int(force)
+        return t if n[0] % t == 0 and n[0] // t >= 2 else None
+    for t in (16, 8, 4, 2):
+        if n[0] % t == 0 and n[0] // t >= 2 and \
+                _gsrb_var_block_bytes(t, n) < 30 * 1024 * 1024:
+            return t
+    return None
+
+
+def gsrb_var_supported(n, ell_bc, dtype) -> bool:
+    """Fused variable-coefficient sweep available? (3-D, f32-on-TPU,
+    non-periodic x, even dims, tiles fit VMEM.)"""
+    if os.environ.get("VARDEN_NO_PALLAS_GSRB") or not HAVE_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(n) != 3 or dtype not in (jnp.float32, jnp.dtype("float32")):
+        return False
+    if ell_bc[0][0] == _BC_PER or ell_bc[0][1] == _BC_PER:
+        return False
+    if any(s < 8 or s % 2 for s in n):
+        return False
+    return _pick_var_tx(n) is not None
+
+
+def gsrb_var_sweep_3d(phi, rhs, inv_diag, beta, dx, ell_bc, bvals,
+                      aco=None, alpha=0.0, *, emit="sweep", interpret=False):
+    """Fused variable-beta GSRB sweep / residual / residual+restrict.
+
+    phi/rhs/inv_diag/aco: (n0, n1, n2) (no batch axis — the MAC/composite
+    solves are single-field); beta: 3 face arrays. For emit="restrict"
+    returns (coarse_residual (n/2), |r|_inf); else the same-shape result.
+    """
+    n = phi.shape
+    tx = _pick_var_tx(n)
+    if tx is None:
+        return None
+    if emit == "restrict" and (tx % 2 or any(s % 2 for s in n)):
+        return None
+    nblk = n[0] // tx
+    dxi2 = tuple(1.0 / (float(h) * float(h)) for h in dx)
+    kern = functools.partial(
+        _gsrb_var_kernel_3d, tx=tx, nblk=nblk,
+        ell_bc=tuple(tuple(b) for b in ell_bc),
+        bvals=tuple(tuple(float(v) for v in bv) for bv in bvals),
+        dxi2=dxi2, alpha=float(alpha), emit=emit)
+    if aco is None:
+        aco = inv_diag  # placeholder, unread when alpha == 0
+
+    def phi_map(b, i):
+        return (b, jnp.clip(i * tx - 1, 0, n[0] - (tx + 2)), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec(tuple(pl.Element(b) for b in (1, tx + 2, n[1], n[2])),
+                     phi_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tx, n[1], n[2]), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, n[1], n[2]), lambda b, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, n[1], n[2]), lambda b, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(pl.Element(b) for b in (tx + 1, n[1], n[2])),
+                     lambda b, i: (i * tx, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, n[1] + 1, n[2]), lambda b, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, n[1], n[2] + 1), lambda b, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if emit == "restrict":
+        out = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct(
+                (1, n[0] // 2, n[1] // 2, n[2] // 2), phi.dtype),
+                jax.ShapeDtypeStruct((1, nblk), phi.dtype)],
+            grid=(1, nblk),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tx // 2, n[1] // 2, n[2] // 2),
+                             lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nblk), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM)],
+            compiler_params=cp,
+            interpret=interpret,
+        )(phi[None], rhs[None], inv_diag, aco, beta[0], beta[1], beta[2])
+        return out[0][0], jnp.max(out[1])
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1,) + tuple(n), phi.dtype),
+        grid=(1, nblk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tx, n[1], n[2]), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=cp,
+        interpret=interpret,
+    )(phi[None], rhs[None], inv_diag, aco, beta[0], beta[1], beta[2])
+    return out[0]
+
+
+# ---------------------------------------------------------------------------
 # Nodal (FEM dense-stencil) kernels
 # ---------------------------------------------------------------------------
 
@@ -309,6 +724,8 @@ def _nodal_factored_kernel_3d(phi_ref, sig_ref, rhs_ref, inv_diag_ref,
 
     if emit == "apply":
         out_ref[...] = acc
+    elif emit == "residual":
+        out_ref[...] = rhs_ref[...] - acc
     else:
         center = phi[1:-1, 1:-1, 1:-1]
         out_ref[...] = center + omega * (rhs_ref[...] - acc) * inv_diag_ref[...]

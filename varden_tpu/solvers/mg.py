@@ -292,9 +292,31 @@ def _color_masks(n, dtype):
     return red, 1.0 - red
 
 
+def _static_bvals(bvals):
+    """bvals usable as kernel compile-time constants (plain floats)?"""
+    return all(not hasattr(v, "ndim") for bv in bvals for v in bv)
+
+
+def _var_kernel_ok(level: CCLevel, phi, bvals):
+    from ..ops import pallas_kernels as pk
+    return (phi.ndim == level.dm and _static_bvals(bvals)
+            and not any(_is_scalar_coef(b) for b in level.beta)
+            and pk.gsrb_var_supported(level.n, level.ell_bc, phi.dtype))
+
+
 def gsrb(level: CCLevel, phi, rhs, bvals, nsweeps):
     inv_diag = jnp.where(level.diag != 0.0, 1.0 / jnp.where(level.diag == 0.0, 1.0, level.diag), 0.0)
     from ..ops import pallas_kernels as pk
+    if _var_kernel_ok(level, phi, bvals):
+        # fused in-kernel-BC sweep: no HBM-level ghost pad at all (the
+        # concatenate-based pad alone costs more than the whole sweep's
+        # bandwidth bound), every operand lane-aligned
+        aco = level.aco if level.alpha != 0.0 else None
+        for _ in range(nsweeps):
+            phi = pk.gsrb_var_sweep_3d(phi, rhs, inv_diag, level.beta,
+                                       level.dx, level.ell_bc, bvals,
+                                       aco=aco, alpha=level.alpha)
+        return phi
     if phi.ndim == level.dm and pk.gsrb_supported(level):
         # fused red+black Pallas sweep: phi/rhs/beta read once per sweep
         sweep = pk.gsrb_sweep_3d if level.dm == 3 else pk.gsrb_sweep_2d
@@ -384,8 +406,21 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
         out = phi + bottom_dense_solve(level, r, singular)
         return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = gsrb(level, phi, rhs, bv, nu1)
-    res = rhs - cc_apply(level, phi, bv)
-    crs = _cell_avg_down(res, level.dm)
+    if _var_kernel_ok(level, phi, bv) and all(s % 2 == 0 for s in level.n):
+        # fused residual + 2^dm restriction + residual-max in ONE pass
+        from ..ops import pallas_kernels as pk
+        aco = level.aco if level.alpha != 0.0 else None
+        fused = pk.gsrb_var_sweep_3d(phi, rhs, level.diag, level.beta,
+                                     level.dx, level.ell_bc, bv, aco=aco,
+                                     alpha=level.alpha, emit="restrict")
+    else:
+        fused = None
+    if fused is not None:
+        crs, rmax = fused
+    else:
+        res = rhs - cc_apply(level, phi, bv)
+        crs = _cell_avg_down(res, level.dm)
+        rmax = jnp.max(jnp.abs(res))
     corr = jnp.zeros_like(crs)
     corr = v_cycle(levels, corr, crs, bvals, lev + 1, nu1, nu2, singular)
     # piecewise-constant prolongation
@@ -395,7 +430,7 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
     phi = phi + corr
     phi = gsrb(level, phi, rhs, bv, nu2)
     if return_resnorm:
-        return phi, jnp.max(jnp.abs(res))
+        return phi, rmax
     return phi
 
 
@@ -450,6 +485,22 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     tol = jnp.maximum(rel_eps * bnorm, jnp.asarray(
         0.0 if abs_eps < 0 else abs_eps, dtype))
 
+    from ..ops import pallas_kernels as pk
+    fused_const = (scalar_beta
+                   and pk.gsrb_const_supported(tuple(n), ell_bc, dtype))
+    if fused_const:
+        inv_diag0 = 1.0 / L0.diag
+        coef0 = jnp.stack([jnp.asarray(beta[d] / dx[d] ** 2, dtype)
+                           for d in range(dm)]
+                          + [jnp.asarray(alpha, dtype)])
+        aco0 = L0.aco if alpha != 0.0 else None
+
+        def _batched(f):
+            return f if f.ndim > dm else f[None]
+
+        def _debatch(f, ref):
+            return f if ref.ndim > dm else f[0]
+
     phi = phi0
     if alpha != 0.0:
         # Jacobi contraction bound: gamma = max |offdiag| / diag. Per sweep
@@ -459,7 +510,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
         gamma = jnp.max((L0.diag - alpha * L0.aco) / safe_diag)
         gamma = jnp.clip(gamma, 1.0e-6, 1.0)
         target = jnp.asarray(max(rel_eps, 1.0e-14), dtype)
-        per_sweep = 1.0 if scalar_beta else 2.0
+        per_sweep = 1.0 if (scalar_beta and not fused_const) else 2.0
         k_need = jnp.ceil(jnp.log(target)
                           / (per_sweep * jnp.log(gamma))) + 2.0
         k_smooth = jnp.where(gamma < 0.5,
@@ -470,7 +521,14 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
 
         def s_body(c):
             p, k = c
-            if scalar_beta:
+            if fused_const:
+                # fused Pallas red-black sweep: in-kernel BC ghosts, all
+                # HBM operands unpadded/lane-aligned (the XLA pad path
+                # spends ~4x the sweep's bandwidth bound on concatenates)
+                p = _debatch(pk.gsrb_const_sweep_3d(
+                    _batched(p), _batched(rhs), inv_diag0, coef0, ell_bc,
+                    bvals, aco=aco0), rhs)
+            elif scalar_beta:
                 # constant-coefficient: one fully-fused XLA Jacobi pass
                 p = jacobi(L0, p, rhs, bvals, 1)
             else:
@@ -480,6 +538,17 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
         phi, _ = jax.lax.while_loop(s_cond, s_body, (phi, jnp.array(0)))
 
     def resnorm0(p):
+        if fused_const:
+            r = pk.gsrb_const_sweep_3d(_batched(p), _batched(rhs), inv_diag0,
+                                       coef0, ell_bc, bvals, aco=aco0,
+                                       emit="residual")
+            return jnp.max(jnp.abs(r))
+        if _var_kernel_ok(L0, p, bvals):
+            r = pk.gsrb_var_sweep_3d(
+                p, rhs, L0.diag, L0.beta, L0.dx, L0.ell_bc, bvals,
+                aco=L0.aco if alpha != 0.0 else None, alpha=alpha,
+                emit="residual")
+            return jnp.max(jnp.abs(r))
         return jnp.max(jnp.abs(rhs - cc_apply(L0, p, bvals)))
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -514,7 +583,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
                                  alpha)
 
         def resnorm(p):
-            return jnp.max(jnp.abs(rhs - cc_apply(levels[0], p, bvals)))
+            return resnorm0(p)
 
         # Nested tolerance loop: the INNER loop runs V-cycles gated by the
         # free in-cycle monitor (each cycle's post-pre-smooth residual — no

@@ -266,19 +266,22 @@ def _sigma_np(sigma, pmask, dm):
     return sigma
 
 
-def _pallas_nodal(level: "NodalLevel", phi, rhs, omega, emit):
-    """Fused Pallas pass (apply or jacobi); None when unsupported."""
+def _pallas_nodal(level: "NodalLevel", phi, rhs, omega, emit, sig_np=None):
+    """Fused Pallas pass (apply / residual / jacobi); None if unsupported.
+    ``sig_np`` lets callers hoist the (sweep-invariant) shifted-padded sigma
+    out of smoothing loops."""
     from ..ops import pallas_kernels as pk
     if not pk.nodal_supported(level):
         return None
     phi_pad = _pad_node(phi, level.pmask, level.dm)
-    sig_np = _sigma_np(level.sigma, level.pmask, level.dm)
+    if sig_np is None:
+        sig_np = _sigma_np(level.sigma, level.pmask, level.dm)
     if emit == "jacobi":
         diag = level.diag
         inv = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
     else:
         rhs = jnp.zeros_like(phi) if rhs is None else rhs
-        inv = rhs  # unread in apply mode
+        inv = rhs  # unread in apply/residual mode
     return pk.nodal_sweep_3d(phi_pad, sig_np, rhs, inv, level.dx,
                              omega=omega, emit=emit)
 
@@ -330,9 +333,12 @@ def node_diag(sigma, dx, pmask, dm):
 def jacobi(level: NodalLevel, phi, rhs, nsweeps, omega=JACOBI_OMEGA):
     done = 0
     if level.mask is None:
-        # fused Pallas weighted-Jacobi (phi/sigma/rhs read once per sweep)
+        # fused Pallas weighted-Jacobi (phi/sigma/rhs read once per sweep);
+        # the shifted-padded sigma is invariant — build it once per call
+        sig_np = _sigma_np(level.sigma, level.pmask, level.dm)
         for _ in range(nsweeps):
-            out = _pallas_nodal(level, phi, rhs, omega, "jacobi")
+            out = _pallas_nodal(level, phi, rhs, omega, "jacobi",
+                                sig_np=sig_np)
             if out is None:
                 break
             phi = out
@@ -459,7 +465,12 @@ def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2,
         out = phi + bottom_dense_solve(level, r)
         return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = jacobi(level, phi, rhs, nu1)
-    res = rhs - nd_apply(level, phi)
+    if level.mask is None:
+        res = _pallas_nodal(level, phi, rhs, 0.0, "residual")
+        if res is None:
+            res = rhs - nd_apply(level, phi)
+    else:
+        res = rhs - nd_apply(level, phi)
     crs_rhs = _restrict(res, level.pmask, level.dm)
     nxt = levels[lev + 1]
     if nxt.mask is not None:
@@ -577,6 +588,10 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
                       jnp.asarray(0.0 if abs_eps < 0 else abs_eps, rhs.dtype))
 
     def resnorm0(phi):
+        if mask is None:
+            r = _pallas_nodal(L0, phi, rhs, 0.0, "residual")
+            if r is not None:
+                return jnp.max(jnp.abs(r))
         return jnp.max(jnp.abs(rhs - nd_apply(L0, phi)))
 
     big = jnp.asarray(jnp.finfo(rhs.dtype).max, rhs.dtype)

@@ -45,7 +45,7 @@ def test_amr_bubble_2lev_invariants():
         assert np.isfinite(np.asarray(st.u)).all()
     assert float(v.last_diag["div_after"]) < 1e-9
     # sync invariant: covered coarse cells = restriction of fine
-    cov = covered_slice_rel(v.geom, 0)
+    cov = covered_slice_rel(v.geom, 1)  # child node
     for name in ("s", "u", "gp"):
         c = np.asarray(getattr(sts[0], name))[(slice(None),) + cov]
         f = np.asarray(restrict_cells(getattr(sts[1], name), 2))

@@ -78,7 +78,7 @@ def test_composite_cc_converges_periodic():
     assert float(rn) < 1.1e-10 * float(jnp.max(jnp.abs(rhs0)))
     # covered coarse cells equal the restriction of the fine solution
     from varden_tpu.amr.hierarchy import restrict_cells
-    cov = amr_solve.covered_slice_rel(geom, 0)
+    cov = amr_solve.covered_slice_rel(geom, 1)  # child node
     assert np.allclose(np.array(phis[0][cov]),
                        np.array(restrict_cells(phis[1], 2)), atol=1e-12)
 

@@ -66,11 +66,24 @@ def test_fixed_grids_parser(tmp_path):
 ((8,8) (23,23) (0,0))
 ((24,16) (39,31) (0,0))
 """)
-    specs = parse_fixed_grids(str(p), 2)
-    assert len(specs) == 1
-    # bounding box of the two boxes, even-aligned
-    assert specs[0].lo == (8, 8)
-    assert specs[0].hi == (40, 32)
+    levels = parse_fixed_grids(str(p), 2)
+    assert len(levels) == 1
+    # the two touching boxes merge into ONE isolated patch (gap < MERGE_GAP):
+    # their bounding box, even-aligned
+    assert len(levels[0]) == 1
+    assert levels[0][0].lo == (8, 8)
+    assert levels[0][0].hi == (40, 32)
+    # far-apart boxes stay separate patches
+    p2 = tmp_path / "grids2"
+    p2.write_text("""2
+2
+((8,8) (23,23) (0,0))
+((88,88) (119,119) (0,0))
+""")
+    levels2 = parse_fixed_grids(str(p2), 2)
+    assert len(levels2[0]) == 2
+    assert levels2[0][0].lo == (8, 8)
+    assert levels2[0][1].lo == (88, 88)
 
 
 def test_write_grids(tmp_path):

@@ -87,3 +87,41 @@ def test_sharded_estdt_matches():
     st8 = pmesh.shard_state(state, sim, m)
     dt8 = float(jax.jit(lambda s: advance.estdt(sim, s, 1.0e20))(st8))
     assert abs(dt1 - dt8) <= 1e-14 * abs(dt1)
+
+
+def test_driver_mesh_mode_inlet_outlet():
+    """First-class --mesh run mode (config mesh=N) on an INLET/OUTLET
+    config (prob_type 2): the Dirichlet MAC/Helmholtz paths under sharding
+    reproduce the single-device run."""
+    base = dict(dim_in=2, prob_type=2, n_cellx=32, n_celly=32,
+                bcx_lo=11, bcx_hi=12, bcy_lo=14, bcy_hi=14,
+                u_bc=((1.0, 0.0), (0.0, 0.0), (0.0, 0.0)),
+                rho_bc=((1.0, 0.0), (0.0, 0.0), (0.0, 0.0)),
+                max_step=2, init_iter=1, init_shrink=0.5,
+                dtype="float64")
+    from varden_tpu.driver import Varden
+    v1 = Varden(VardenConfig(**base))
+    s1 = v1.run()
+    v8 = Varden(VardenConfig(**base, mesh=8))
+    assert v8.mesh is not None
+    s8 = v8.run()
+    _assert_state_close(s1, s8, 1e-12)
+
+
+def test_driver_mesh_mode_two_level():
+    """Sharded 2-level hierarchy: the ML step over per-patch sharded arrays
+    matches the unsharded run (the reference's rank-count invariance at
+    every level, SURVEY.md §4 item 2)."""
+    base = dict(dim_in=2, prob_type=1, n_cellx=32, n_celly=32, max_levs=2,
+                regrid_int=-1, max_step=2, init_iter=1, grav=-9.8,
+                bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15,
+                cflfac=0.9, init_shrink=0.1, dtype="float64")
+    from varden_tpu.driver import Varden
+    v1 = Varden(VardenConfig(**base))
+    st1 = v1.run()
+    v8 = Varden(VardenConfig(**base, mesh=8))
+    assert v8.mesh is not None
+    st8 = v8.run()
+    assert v1.geom.key() == v8.geom.key()
+    for a, b in zip(st1, st8):
+        _assert_state_close(a, b, 1e-12)

@@ -28,20 +28,22 @@ from .solve import covered_slice_rel, pad_phi
 
 def edge_restrict_mac(geom: MLGeom, umac_l):
     """Average fine faces onto coincident coarse faces (ml_edge_restriction,
-    velpred.f90:115-119, macproject.f90:497-501)."""
+    velpred.f90:115-119, macproject.f90:497-501). Children fold into their
+    parents in reverse node order (fine to coarse)."""
     dm = geom.dm
     out = [list(u) for u in umac_l]
-    for l in range(geom.nlev - 2, -1, -1):
-        child, spec = geom.specs[l + 1], geom.specs[l]
+    for c in range(geom.nlev - 1, 0, -1):
+        p = geom.parent[c]
+        child, spec = geom.specs[c], geom.specs[p]
         for d in range(dm):
-            rf = restrict_faces(out[l + 1][d], d, dm)
+            rf = restrict_faces(out[c][d], d, dm)
             sl = []
             for t in range(dm):
                 lo = child.lo[t] // 2 - spec.lo[t]
                 hi = child.hi[t] // 2 - spec.lo[t]
                 sl.append(slice(lo, hi + (1 if t == d else 0)))
-            out[l] = list(out[l])
-            out[l][d] = out[l][d].at[tuple(sl)].set(rf)
+            out[p] = list(out[p])
+            out[p][d] = out[p][d].at[tuple(sl)].set(rf)
     return [tuple(u) for u in out]
 
 
@@ -64,14 +66,15 @@ def grow_mac_ml(geom: MLGeom, umac_l, lev: int, ng: int):
     if lev == 0:
         return embed_faces(sim, umac_l[0], ng)
 
-    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    par = geom.parent[lev]
+    spec, pspec = geom.specs[lev], geom.specs[par]
     n = spec.n
     out = []
     for d in range(dm):
         shape = tuple(s + 2 * ng for s in n)
         arr = jnp.zeros(shape, umac_l[lev][d].dtype)
         # coarse-interpolated field over the fine box + 1 tangential ghost
-        cu = umac_l[lev - 1][d]
+        cu = umac_l[par][d]
         # upsample: normal axis -> even planes coincide, odd = average;
         # tangential axes -> repeat
         up = cu
@@ -264,13 +267,15 @@ def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
 
 def restrict_and_sync(geom: MLGeom, arrs_l):
     """Average fine data down onto covered coarse cells
-    (ml_restrict_and_fill's restriction half)."""
+    (ml_restrict_and_fill's restriction half); children fold into their
+    parents in reverse node order."""
     out = list(arrs_l)
-    for l in range(geom.nlev - 2, -1, -1):
-        cov = covered_slice_rel(geom, l)
-        lead = out[l].ndim - geom.dm
+    for c in range(geom.nlev - 1, 0, -1):
+        p = geom.parent[c]
+        cov = covered_slice_rel(geom, c)
+        lead = out[p].ndim - geom.dm
         sl = tuple([slice(None)] * lead) + cov
-        out[l] = out[l].at[sl].set(restrict_cells(out[l + 1], geom.dm))
+        out[p] = out[p].at[sl].set(restrict_cells(out[c], geom.dm))
     return out
 
 
@@ -279,10 +284,11 @@ def flux_sync(geom: MLGeom, flux_l, is_cons):
     by the averaged fine fluxes (ml_edge_restriction_c, mkflux.f90:137-146)."""
     dm = geom.dm
     out = [list(f) for f in flux_l]
-    for l in range(geom.nlev - 2, -1, -1):
-        child, spec = geom.specs[l + 1], geom.specs[l]
+    for ci in range(geom.nlev - 1, 0, -1):
+        p = geom.parent[ci]
+        child, spec = geom.specs[ci], geom.specs[p]
         for d in range(dm):
-            rf = restrict_faces(out[l + 1][d], d, dm)
+            rf = restrict_faces(out[ci][d], d, dm)
             sl = [slice(None)]  # component axis
             for t in range(dm):
                 lo = child.lo[t] // 2 - spec.lo[t]
@@ -290,8 +296,8 @@ def flux_sync(geom: MLGeom, flux_l, is_cons):
                 sl.append(slice(lo, hi + (1 if t == d else 0)))
             cons_mask = jnp.asarray([1.0 if c else 0.0 for c in is_cons],
                                     rf.dtype).reshape((-1,) + (1,) * dm)
-            cur = out[l][d][tuple(sl)]
-            out[l][d] = out[l][d].at[tuple(sl)].set(
+            cur = out[p][d][tuple(sl)]
+            out[p][d] = out[p][d].at[tuple(sl)].set(
                 cons_mask * rf + (1.0 - cons_mask) * cur)
     return [tuple(f) for f in out]
 

@@ -18,24 +18,63 @@ from .hierarchy import LevelSpec, prolong_cells
 
 
 class MLGeom:
-    """Static multilevel geometry: per-level specs + side classification."""
+    """Static multilevel geometry: a PATCH TREE of dense rectangles.
 
-    def __init__(self, sim: Sim, specs: List[LevelSpec]):
+    Nodes are LevelSpec patches sorted by refinement depth; node 0 is the
+    root (whole domain, depth 0) and every other node has a ``parent`` it
+    is properly nested in. A classic level chain is the special case
+    parent = [-1, 0, 1, ...] (one patch per level) — the default when no
+    parent list is given, so single-patch hierarchies behave identically.
+
+    Patches at the same depth are ISOLATED (the clustering merges boxes
+    closer than the ghost width): they interact only through their common
+    parent, which is exactly the reference's coarse-fine machinery applied
+    patchwise (its boxes within a level DO exchange ghosts — our merged
+    patches make that exchange empty by construction).
+
+    ``nlev`` is the NODE count (the historical name — most loops iterate
+    nodes); ``ndepth`` is the number of refinement levels.
+    """
+
+    def __init__(self, sim: Sim, specs: List[LevelSpec], parent=None,
+                 depth=None):
         self.sim = sim
         self.specs = specs
         self.nlev = len(specs)
         self.dm = sim.dm
+        if parent is None:
+            parent = [i - 1 for i in range(len(specs))]
+            depth = list(range(len(specs)))
+        self.parent = list(parent)
+        self.depth = list(depth)
+        assert len(self.parent) == len(specs) and len(self.depth) == len(specs)
+        assert all(self.depth[self.parent[i]] == self.depth[i] - 1
+                   for i in range(1, len(specs)))
+        assert all(self.depth[i] <= self.depth[i + 1]
+                   for i in range(len(specs) - 1)), "nodes must be depth-sorted"
+        self.children = [[] for _ in specs]
+        for i in range(1, len(specs)):
+            self.children[self.parent[i]].append(i)
+        self.ndepth = (max(self.depth) + 1) if specs else 0
 
-    def dx(self, lev):
-        return tuple(h / 2 ** lev for h in self.sim.dx)
+    def nodes_at(self, d):
+        return [i for i in range(self.nlev) if self.depth[i] == d]
 
-    def domain_n(self, lev):
-        return tuple(s * 2 ** lev for s in self.sim.n_cell)
+    def key(self):
+        """Static identity for jit-cache keys."""
+        return tuple((s.lo, s.n, p, d) for s, p, d in
+                     zip(self.specs, self.parent, self.depth))
 
-    def side_kind(self, lev, d, side):
+    def dx(self, node):
+        return tuple(h / 2 ** self.depth[node] for h in self.sim.dx)
+
+    def domain_n(self, node):
+        return tuple(s * 2 ** self.depth[node] for s in self.sim.n_cell)
+
+    def side_kind(self, node, d, side):
         """'per' (wraps on itself), 'phys', or 'cf' (interp from parent)."""
-        spec = self.specs[lev]
-        dn = self.domain_n(lev)
+        spec = self.specs[node]
+        dn = self.domain_n(node)
         spans = spec.lo[d] == 0 and spec.hi[d] == dn[d]
         at_edge = (spec.lo[d] == 0) if side == 0 else (spec.hi[d] == dn[d])
         if self.sim.pmask[d]:
@@ -130,10 +169,11 @@ def pad_ml(geom: MLGeom, arrs: List[jnp.ndarray], comp: int, lev: int,
     if lev == 0:
         return bc_mod.fill_ghost(arrs[0], ng, adv, vals, sim.pmask, dm)
 
+    par = geom.parent[lev]
     ngp = ng // 2 + 2
-    ppad = pad_ml(geom, arrs, comp, lev - 1, ngp)
+    ppad = pad_ml(geom, arrs, comp, par, ngp)
     spec = geom.specs[lev]
-    pspec = geom.specs[lev - 1]
+    pspec = geom.specs[par]
 
     c0 = [(spec.lo[d] - ng) // 2 - 1 for d in range(dm)]
     c1 = [-((-(spec.hi[d] + ng)) // 2) + 1 for d in range(dm)]

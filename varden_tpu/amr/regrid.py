@@ -124,93 +124,156 @@ def cluster_tagged(tags: np.ndarray, min_eff: float = 0.7,
             for lo, hi in out]
 
 
-def cluster_box(sim: Sim, tags: np.ndarray, tag_spec: LevelSpec,
-                parent_level: int, buf: int,
-                nest_spec: Optional[LevelSpec] = None) -> Optional[LevelSpec]:
-    """Bounding-box clustering of tagged cells on the parent level -> new
-    fine-level spec (fine index space), quantized and properly nested.
+MERGE_GAP = 8      # fine cells: boxes closer than this merge (>= ghost width
+                   # so sibling patches never interact through a stencil)
 
-    ``tag_spec``: box of the tagged array (index offset); ``nest_spec``: the
-    (possibly new) parent box to nest inside (defaults to tag_spec)."""
-    dm = tags.ndim
-    parent = nest_spec if nest_spec is not None else tag_spec
+
+def _merge_near(boxes, gap):
+    """Merge fine-space boxes whose separation is < ``gap`` cells (grown
+    boxes overlap) until stable; the survivors are ISOLATED patches."""
+    out = [(np.asarray(lo), np.asarray(hi)) for lo, hi in boxes]
+    merged = True
+    while merged and len(out) > 1:
+        merged = False
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                (l1, h1), (l2, h2) = out[i], out[j]
+                if (np.minimum(h1 + gap, h2 + gap)
+                        > np.maximum(l1 - gap, l2 - gap)).all():
+                    out[i] = (np.minimum(l1, l2), np.maximum(h1, h2))
+                    out.pop(j)
+                    merged = True
+                    break
+            if merged:
+                break
+    return out
+
+
+def _child_boxes(sim: Sim, tags: np.ndarray, tag_spec: LevelSpec, buf: int):
+    """Cluster one node's tags into candidate CHILD boxes in the fine index
+    space: Berger-Rigoutsos boxes -> global coarse cells -> buffer ->
+    fine space -> QUANT alignment (isolation is enforced globally by the
+    caller across all of a depth's candidates)."""
     if not tags.any():
-        return None
-    idx = np.argwhere(tags)
-    lo_c = idx.min(axis=0) + np.array(tag_spec.lo)
-    hi_c = idx.max(axis=0) + 1 + np.array(tag_spec.lo)
-    lo_c = lo_c - buf
-    hi_c = hi_c + buf
+        return []
+    boxes = cluster_tagged(tags, min_eff=sim.cfg.cluster_min_eff,
+                           blocking=sim.cfg.cluster_blocking_factor,
+                           min_width=sim.cfg.cluster_min_width)
+    out = []
+    for lo, hi in boxes:
+        lo_c = np.asarray(lo) + np.asarray(tag_spec.lo) - buf
+        hi_c = np.asarray(hi) + np.asarray(tag_spec.lo) + buf
+        lo_f = (2 * lo_c // QUANT) * QUANT
+        hi_f = -((-2 * hi_c) // QUANT) * QUANT
+        out.append((lo_f, hi_f))
+    return out
 
-    dn_parent = [s * 2 ** parent_level for s in sim.n_cell]
-    lo_f, hi_f = [], []
+
+def _nest_into(sim: Sim, lo_f, hi_f, parent: LevelSpec, parent_depth: int):
+    """Clip a fine-space box to nest NEST_BUFFER coarse cells inside its
+    parent patch (flush sides at the domain boundary are exempt); returns a
+    LevelSpec or None if the clip empties it."""
+    dm = sim.dm
+    dn_parent = [s * 2 ** parent_depth for s in sim.n_cell]
+    lo, hi = [], []
     for d in range(dm):
-        l = 2 * int(lo_c[d])
-        h = 2 * int(hi_c[d])
-        # quantize to multiples of QUANT (fine index space)
-        l = (l // QUANT) * QUANT
-        h = -((-h) // QUANT) * QUANT
         dn_f = 2 * dn_parent[d]
-        # proper nesting: stay NEST_BUFFER coarse cells inside the parent box
-        # unless flush with the domain boundary
         pl = 2 * (parent.lo[d] + NEST_BUFFER) if parent.lo[d] > 0 else 0
-        ph = 2 * (parent.hi[d] - NEST_BUFFER) if parent.hi[d] < dn_parent[d] \
-            else dn_f
-        l = max(l, pl, 0)
-        h = min(h, ph, dn_f)
+        ph = 2 * (parent.hi[d] - NEST_BUFFER) \
+            if parent.hi[d] < dn_parent[d] else dn_f
+        l = max(int(lo_f[d]), pl, 0)
+        h = min(int(hi_f[d]), ph, dn_f)
         if h - l < 2 * QUANT:
             mid = (l + h) // 2
-            l = max(min(l, mid - QUANT), 0)
-            h = min(max(h, mid + QUANT), dn_f)
-        lo_f.append(l)
-        hi_f.append(h)
-    if any(h - l <= 0 for l, h in zip(lo_f, hi_f)):
-        return None
-    return LevelSpec(tuple(lo_f), tuple(h - l for l, h in zip(lo_f, hi_f)))
+            l = max(min(l, mid - QUANT), pl, 0)
+            h = min(max(h, mid + QUANT), ph, dn_f)
+        if h - l <= 0:
+            return None
+        lo.append(l)
+        hi.append(h)
+    return LevelSpec(tuple(lo), tuple(h - l for l, h in zip(lo, hi)))
 
 
-def compute_specs(sim: Sim, states: List[State], specs: List[LevelSpec]
-                  ) -> List[LevelSpec]:
-    """New level specs from density tagging of the current state
-    (regrid.f90:131-202 loop)."""
+def _overlap_cells(spec: LevelSpec, lo_f, hi_f) -> int:
+    v = 1
+    for d in range(len(lo_f)):
+        w = min(spec.hi[d], int(hi_f[d])) - max(spec.lo[d], int(lo_f[d]))
+        if w <= 0:
+            return 0
+        v *= w
+    return v
+
+
+def compute_tree(sim: Sim, geom, states: List[State]):
+    """New patch tree from density tagging of the current states
+    (regrid.f90:131-202 loop, with FBoxLib's make_new_grids clustering):
+    each depth-d node's tags cluster into Berger-Rigoutsos boxes; boxes
+    from all of a depth's nodes are merged into ISOLATED patches (gap >=
+    MERGE_GAP fine cells) and nested into the new depth-d patch with the
+    largest overlap.
+
+    Returns (specs, parent, depth) lists, depth-sorted (node 0 = root)."""
     buf = max(sim.cfg.amr_buf_width, 2)
-    new_specs = [specs[0]]
-    nlev_avail = len(states)
-    for l in range(sim.cfg.max_levs - 1):
-        if l >= nlev_avail:
+    specs = [geom.specs[0]]
+    parent = [-1]
+    depth = [0]
+    for d in range(sim.cfg.max_levs - 1):
+        old_nodes = [i for i in range(geom.nlev) if geom.depth[i] == d
+                     and i < len(states)]
+        if not old_nodes:
             break
-        rho = np.asarray(states[l].s[0])
-        tags = np.asarray(problems.tag_cells(sim, jnp.asarray(rho), l))
-        child = cluster_box(sim, tags, specs[l], l, buf,
-                            nest_spec=new_specs[l])
-        if child is None:
+        cand = []
+        for i in old_nodes:
+            rho = states[i].s[0]
+            tags = np.asarray(problems.tag_cells(sim, rho, d))
+            cand += _child_boxes(sim, tags, geom.specs[i], buf)
+        cand = _merge_near(cand, MERGE_GAP)
+        parents_d = [j for j in range(len(specs)) if depth[j] == d]
+        children = {}          # parent node -> list of LevelSpec
+        for lo_f, hi_f in cand:
+            best, ov = None, 0
+            for j in parents_d:
+                o = _overlap_cells(
+                    LevelSpec(tuple(2 * l for l in specs[j].lo),
+                              tuple(2 * n for n in specs[j].n)), lo_f, hi_f)
+                if o > ov:
+                    best, ov = j, o
+            if best is None:
+                continue
+            child = _nest_into(sim, lo_f, hi_f, specs[best], d)
+            if child is not None:
+                children.setdefault(best, []).append(child)
+        added = False
+        for j in sorted(children):
+            # a late clip can re-overlap siblings: merge those
+            boxes = _merge_near([(c.lo, c.hi) for c in children[j]], 0)
+            for lo, hi in boxes:
+                specs.append(LevelSpec(tuple(int(v) for v in lo),
+                                       tuple(int(h - l)
+                                             for l, h in zip(lo, hi))))
+                parent.append(j)
+                depth.append(d + 1)
+                added = True
+        if not added:
             break
-        if tags.any():
-            boxes = cluster_tagged(tags, min_eff=sim.cfg.cluster_min_eff,
-                                   blocking=sim.cfg.cluster_blocking_factor,
-                                   min_width=sim.cfg.cluster_min_width)
-            if len(boxes) > 1:
-                cover = sum(int(np.prod([h[d] - lo[d] for d in range(tags.ndim)]))
-                            for lo, h in boxes)
-                bb = int(np.prod(child.n)) // 2 ** tags.ndim
-                print(f"WARNING: level {l + 1} tagging clusters into "
-                      f"{len(boxes)} boxes; single-rectangle level covers "
-                      f"{bb / max(cover, 1):.1f}x the clustered area")
-        new_specs.append(child)
-    return new_specs
+    return specs, parent, depth
 
 
 def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
-                     new_specs: List[LevelSpec]) -> List[State]:
-    """Move state onto the new hierarchy: interpolate from the parent, copy
-    where the old fine level overlaps (regrid.f90:274-341), nodal-prolong p."""
+                     new_geom: MLGeom) -> List[State]:
+    """Move state onto the new patch tree: interpolate each node from its
+    (already-built) parent, copy where old same-depth patches overlap
+    (regrid.f90:274-341), nodal-prolong p."""
     dm = sim.dm
     new_states = [states[0]]
-    for l in range(1, len(new_specs)):
-        spec = new_specs[l]
-        parent = new_states[l - 1]
-        pspec = new_specs[l - 1]
-        # interpolate u, s, gp from the parent level
+    for c in range(1, new_geom.nlev):
+        spec = new_geom.specs[c]
+        pi = new_geom.parent[c]
+        parent = new_states[pi]
+        pspec = new_geom.specs[pi]
+        d_new = new_geom.depth[c]
+
+        # interpolate u, s, gp from the parent patch
         def interp(arr):
             lead = arr.ndim - dm
             up = prolong_cells(arr, dm)
@@ -224,9 +287,7 @@ def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
         s = interp(parent.s)
         gp = interp(parent.gp)
         # nodal prolongation of p
-        pm_parent = [old_geom.sim.pmask[d] and pspec.lo[d] == 0 and
-                     pspec.hi[d] == sim.n_cell[d] * 2 ** (l - 1)
-                     for d in range(dm)]
+        pm_parent = [new_geom.side_kind(pi, d, 0) == "per" for d in range(dm)]
         pc = parent.p
         for d in range(dm):
             if pm_parent[d]:
@@ -234,8 +295,7 @@ def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
                 slp[d] = slice(0, 1)
                 pc = jnp.concatenate([pc, pc[tuple(slp)]], axis=d)
         pup = prolong_nodes(pc, dm)
-        pm_new = [sim.pmask[d] and spec.lo[d] == 0 and
-                  spec.hi[d] == sim.n_cell[d] * 2 ** l for d in range(dm)]
+        pm_new = [new_geom.side_kind(c, d, 0) == "per" for d in range(dm)]
         slp = []
         for d in range(dm):
             count = spec.n[d] + (0 if pm_new[d] else 1)
@@ -243,10 +303,12 @@ def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
             slp.append(slice(start, start + count))
         p = pup[tuple(slp)]
 
-        # copy-overlap data from the old fine level where it exists
-        if l < len(states):
-            old = states[l]
-            ospec = old_geom.specs[l]
+        # copy-overlap data from every old same-depth patch that intersects
+        for o in range(1, old_geom.nlev):
+            if old_geom.depth[o] != d_new or o >= len(states):
+                continue
+            old = states[o]
+            ospec = old_geom.specs[o]
             lo = [max(spec.lo[d], ospec.lo[d]) for d in range(dm)]
             hi = [min(spec.hi[d], ospec.hi[d]) for d in range(dm)]
             if all(h > lo_ for lo_, h in zip(lo, hi)):
@@ -263,22 +325,51 @@ def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
 
 
 def initialize_adaptive(sim: Sim) -> Tuple[MLGeom, List[State]]:
-    """Adaptive hierarchy construction (initialize_with_adaptive_grids,
-    initialize.f90:152-342): init level 0, tag, build finer levels from fresh
-    initdata at their own resolution, iterate."""
+    """Adaptive patch-tree construction (initialize_with_adaptive_grids,
+    initialize.f90:152-342): init level 0, tag, cluster into isolated
+    patches, init each from fresh initdata at its own resolution, recurse
+    per depth."""
     from .hierarchy import domain_spec
-    specs = [domain_spec(sim.n_cell, 0)]
-    states = [problems.initdata(sim)]
     buf = max(sim.cfg.amr_buf_width, 2)
-    for l in range(sim.cfg.max_levs - 1):
-        rho = states[l].s[0]
-        tags = np.asarray(problems.tag_cells(sim, rho, l))
-        child = cluster_box(sim, tags, specs[l], l, buf)
-        if child is None:
+    specs = [domain_spec(sim.n_cell, 0)]
+    parent = [-1]
+    depth = [0]
+    states = [problems.initdata(sim)]
+    for d in range(sim.cfg.max_levs - 1):
+        nodes_d = [i for i in range(len(specs)) if depth[i] == d]
+        cand = []
+        for i in nodes_d:
+            tags = np.asarray(problems.tag_cells(sim, states[i].s[0], d))
+            cand += _child_boxes(sim, tags, specs[i], buf)
+        cand = _merge_near(cand, MERGE_GAP)
+        children = {}
+        for lo_f, hi_f in cand:
+            best, ov = None, 0
+            for j in nodes_d:
+                o = _overlap_cells(
+                    LevelSpec(tuple(2 * l for l in specs[j].lo),
+                              tuple(2 * n for n in specs[j].n)), lo_f, hi_f)
+                if o > ov:
+                    best, ov = j, o
+            if best is None:
+                continue
+            child = _nest_into(sim, lo_f, hi_f, specs[best], d)
+            if child is not None:
+                children.setdefault(best, []).append(child)
+        added = False
+        for j in sorted(children):
+            boxes = _merge_near([(c.lo, c.hi) for c in children[j]], 0)
+            for lo, hi in boxes:
+                spec = LevelSpec(tuple(int(v) for v in lo),
+                                 tuple(int(h - l) for l, h in zip(lo, hi)))
+                specs.append(spec)
+                parent.append(j)
+                depth.append(d + 1)
+                states.append(problems.initdata_on_spec(sim, spec, d + 1))
+                added = True
+        if not added:
             break
-        specs.append(child)
-        states.append(problems.initdata_on_spec(sim, child, l + 1))
-    geom = MLGeom(sim, specs)
+    geom = MLGeom(sim, specs, parent, depth)
     return geom, states
 
 
@@ -286,8 +377,9 @@ def parse_fixed_grids(path: str, dm: int):
     """Parse a fixed-grids file (the read_a_hgproj_grid format the reference
     consumes at initialize.f90:113): first line = number of levels; then per
     fine level a box count followed by box lines ``((lo..) (hi..) (t..))``.
-    Multiple boxes per level are clustered to their bounding box (our levels
-    are single dense rectangles)."""
+    Returns a list per fine level of even-aligned LevelSpec boxes (multi-box
+    levels are kept as separate patches; boxes closer than MERGE_GAP fine
+    cells merge into one — the isolated-patch invariant)."""
     import re
     box_re = re.compile(r"\(\(([^)]*)\)\s*\(([^)]*)\)")
     with open(path) as f:
@@ -303,49 +395,69 @@ def parse_fixed_grids(path: str, dm: int):
             idx += 1
         else:
             nbox = 1
-        lo = [10 ** 9] * dm
-        hi = [-10 ** 9] * dm
-        box_cells = 0
+        boxes = []
         for _b in range(nbox):
             m = box_re.search(lines[idx])
             idx += 1
             blo = [int(v) for v in m.group(1).split(",")[:dm]]
             bhi = [int(v) for v in m.group(2).split(",")[:dm]]
-            box_cells += int(np.prod([bhi[d] + 1 - blo[d] for d in range(dm)]))
-            lo = [min(lo[d], blo[d]) for d in range(dm)]
-            hi = [max(hi[d], bhi[d] + 1) for d in range(dm)]
-        # even alignment for ratio-2 hierarchies
-        lo = [(v // 2) * 2 for v in lo]
-        hi = [-((-v) // 2) * 2 for v in hi]
-        if nbox > 1:
-            bb_cells = int(np.prod([h - l for l, h in zip(lo, hi)]))
-            print(f"WARNING: fixed-grids level with {nbox} boxes collapsed "
-                  f"to bounding box; coverage ratio "
-                  f"{box_cells / max(bb_cells, 1):.2f} — grid hierarchy and "
-                  f"cost differ from the reference run")
-        out.append(LevelSpec(tuple(lo), tuple(h - l for l, h in zip(lo, hi))))
+            # even alignment for ratio-2 hierarchies
+            lo = [(v // 2) * 2 for v in blo]
+            hi = [-((-(v + 1)) // 2) * 2 for v in bhi]
+            boxes.append((np.asarray(lo), np.asarray(hi)))
+        merged = _merge_near(boxes, MERGE_GAP)
+        if len(merged) < len(boxes):
+            print(f"note: fixed-grids level: {len(boxes)} boxes merged into "
+                  f"{len(merged)} isolated patch(es) (gap < {MERGE_GAP})")
+        out.append([LevelSpec(tuple(int(v) for v in lo),
+                              tuple(int(h - l) for l, h in zip(lo, hi)))
+                    for lo, hi in merged])
     return out
 
 
 def initialize_fixed(sim: Sim) -> Tuple[MLGeom, List[State]]:
-    """Fixed-grids hierarchy construction (initialize_with_fixed_grids,
-    initialize.f90:93-150)."""
+    """Fixed-grids patch-tree construction (initialize_with_fixed_grids,
+    initialize.f90:93-150); each box becomes a patch parented to the
+    previous-depth patch with the largest overlap."""
     from .hierarchy import domain_spec
     specs = [domain_spec(sim.n_cell, 0)]
-    # note: the file's first level entry describes level 2 of the reference
-    specs += parse_fixed_grids(sim.cfg.fixed_grids, sim.dm)
+    parent = [-1]
+    depth = [0]
     states = [problems.initdata(sim)]
-    for l in range(1, len(specs)):
-        states.append(problems.initdata_on_spec(sim, specs[l], l))
-    geom = MLGeom(sim, specs)
+    # note: the file's first level entry describes level 2 of the reference
+    per_level = parse_fixed_grids(sim.cfg.fixed_grids, sim.dm)
+    for li, boxes in enumerate(per_level):
+        d = li + 1
+        parents_d = [j for j in range(len(specs)) if depth[j] == d - 1]
+        for spec in boxes:
+            best, ov = None, 0
+            for j in parents_d:
+                o = _overlap_cells(
+                    LevelSpec(tuple(2 * l for l in specs[j].lo),
+                              tuple(2 * n for n in specs[j].n)),
+                    spec.lo, spec.hi)
+                if o > ov:
+                    best, ov = j, o
+            if best is None:
+                print(f"WARNING: fixed-grids box {spec.lo}+{spec.n} at level "
+                      f"{d + 1} nests in no parent patch; dropped")
+                continue
+            specs.append(spec)
+            parent.append(best)
+            depth.append(d)
+            states.append(problems.initdata_on_spec(sim, spec, d))
+    geom = MLGeom(sim, specs, parent, depth)
     return geom, states
 
 
 def write_grids(path: str, geom: MLGeom, istep: int):
     """Append the current box hierarchy (the grdlog of varden.f90:622-663)."""
     with open(path, "a") as f:
-        f.write(f"step {istep}: {geom.nlev} levels\n")
-        for l, spec in enumerate(geom.specs):
-            hi = tuple(h - 1 for h in spec.hi)
-            f.write(f"  level {l + 1}: (({','.join(map(str, spec.lo))}) "
-                    f"({','.join(map(str, hi))}))\n")
+        f.write(f"step {istep}: {geom.ndepth} levels, {geom.nlev} boxes\n")
+        for d in range(geom.ndepth):
+            for i in geom.nodes_at(d):
+                spec = geom.specs[i]
+                hi = tuple(h - 1 for h in spec.hi)
+                f.write(f"  level {d + 1}: "
+                        f"(({','.join(map(str, spec.lo))}) "
+                        f"({','.join(map(str, hi))}))\n")

@@ -78,8 +78,9 @@ def pad_phi(geom: MLGeom, lev: int, phis, ell_bc_phys, bvals,
             out = jnp.concatenate([lo, out, hi], axis=axis)
         return out
 
-    ppad = pad_phi(geom, lev - 1, phis, ell_bc_phys, bvals, ng=2)
-    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    par = geom.parent[lev]
+    ppad = pad_phi(geom, par, phis, ell_bc_phys, bvals, ng=2)
+    spec, pspec = geom.specs[lev], geom.specs[par]
     c0 = [(spec.lo[d] - ng) // 2 - 1 for d in range(dm)]
     c1 = [-((-(spec.hi[d] + ng)) // 2) + 1 for d in range(dm)]
     sl = [slice(None)] * (ppad.ndim - dm)
@@ -110,19 +111,20 @@ def pad_phi(geom: MLGeom, lev: int, phis, ell_bc_phys, bvals,
     return out
 
 
-def _reflux_correct(geom: MLGeom, lev, res_c, pad_c, pad_f, beta_c, beta_f):
+def _reflux_correct(geom: MLGeom, ci, res_c, pad_c, pad_f, beta_c, beta_f):
     """Replace the coarse flux with the averaged fine flux in the coarse
-    residual at coarse-fine faces of child level lev+1 (flux registers)."""
+    residual at coarse-fine faces of child node ``ci`` (flux registers)."""
     dm = geom.dm
-    child = geom.specs[lev + 1]
-    dxc = geom.dx(lev)
-    dxf = geom.dx(lev + 1)
-    cspec = geom.specs[lev]
+    child = geom.specs[ci]
+    par = geom.parent[ci]
+    dxc = geom.dx(par)
+    dxf = geom.dx(ci)
+    cspec = geom.specs[par]
     cl = [child.lo[d] // 2 - cspec.lo[d] for d in range(dm)]   # rel. coarse idx
     ch = [child.hi[d] // 2 - cspec.lo[d] for d in range(dm)]
     for d in range(dm):
         for side in range(2):
-            if geom.side_kind(lev + 1, d, side) != "cf":
+            if geom.side_kind(ci, d, side) != "cf":
                 continue
             face_c = cl[d] if side == 0 else ch[d]   # coarse face plane index
             # coarse flux across the plane: beta * (phi[face]-phi[face-1])/dxc
@@ -239,9 +241,9 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         # circulates between levels through the reflux and stalls convergence.
         rhs_l = list(rhs_l)
         comp = list(rhs_l)
-        for l in range(nlev - 2, -1, -1):
-            comp[l] = comp[l].at[covered_slice_rel(geom, l)].set(
-                restrict_cells(comp[l + 1], dm))
+        for c in range(nlev - 1, 0, -1):
+            comp[geom.parent[c]] = comp[geom.parent[c]].at[
+                covered_slice_rel(geom, c)].set(restrict_cells(comp[c], dm))
         mu = jnp.mean(comp[0])
         rhs_l = [r - mu for r in rhs_l]
 
@@ -250,13 +252,15 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         res = [rhs_l[l] - mg.apply_padded(pads[l], aco_l[l], beta_l[l],
                                           alpha, geom.dx(l), dm)
                for l in range(nlev)]
-        # fold FINE -> COARSE so a middle level's covered/reflux corrections
-        # are in place before being restricted into its own parent
-        for l in range(nlev - 2, -1, -1):
-            res[l] = _reflux_correct(geom, l, res[l], pads[l], pads[l + 1],
-                                     beta_l[l], beta_l[l + 1])
-            cov = covered_slice_rel(geom, l)
-            res[l] = res[l].at[cov].set(restrict_cells(res[l + 1], dm))
+        # fold FINE -> COARSE (children in reverse node order) so a middle
+        # node's covered/reflux corrections are in place before being
+        # restricted into its own parent
+        for c in range(nlev - 1, 0, -1):
+            p = geom.parent[c]
+            res[p] = _reflux_correct(geom, c, res[p], pads[p], pads[c],
+                                     beta_l[p], beta_l[c])
+            cov = covered_slice_rel(geom, c)
+            res[p] = res[p].at[cov].set(restrict_cells(res[c], dm))
         return res
 
     def resnorm(res):
@@ -271,9 +275,10 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
     tol = rel_eps * bnorm
 
     def slave(phis):
-        for l in range(nlev - 2, -1, -1):
-            cov = covered_slice_rel(geom, l)
-            phis[l] = phis[l].at[cov].set(restrict_cells(phis[l + 1], dm))
+        for c in range(nlev - 1, 0, -1):
+            cov = covered_slice_rel(geom, c)
+            p = geom.parent[c]
+            phis[p] = phis[p].at[cov].set(restrict_cells(phis[c], dm))
         return phis
 
     zb = [[0.0, 0.0]] * dm
@@ -281,32 +286,35 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
     def comp_correction(res):
         """One composite V-cycle on the correction problem A_comp d = res
         (homogeneous BCs) — the ml_cc structure (FBoxLib ml_cc.f90 consumed
-        via /root/reference/src/mac_multigrid.f90:53-62): downward per-level
+        via /root/reference/src/mac_multigrid.f90:53-62): downward per-node
         smooth + defect restriction carrying the CORRECTION's own flux
         registers into the parent (the piece the round-1 block sweep lacked
         at middle levels), coarsest full solve, upward prolong + re-smooth
-        with parent-interpolated interface ghosts."""
+        with parent-interpolated interface ghosts. Fine-to-coarse node order
+        visits every child before its parent; sibling contributions land in
+        disjoint parent regions."""
         d = [jnp.zeros_like(r) for r in res]
         res = list(res)
-        for l in range(nlev - 1, 0, -1):
-            d[l] = mg.v_cycle(hiers[l], d[l], res[l], zb)
-            pad_f = pad_phi(geom, l, d, ell0, zb, ng=1)
-            dres = res[l] - mg.apply_padded(pad_f, aco_l[l], beta_l[l],
-                                            alpha, geom.dx(l), dm)
-            cov = covered_slice_rel(geom, l - 1)
-            res[l - 1] = res[l - 1].at[cov].set(restrict_cells(dres, dm))
-            pad_c = pad_phi(geom, l - 1, d, ell0, zb, ng=1)  # d[l-1] == 0
-            res[l - 1] = _reflux_correct(geom, l - 1, res[l - 1], pad_c,
-                                         pad_f, beta_l[l - 1], beta_l[l])
+        for c in range(nlev - 1, 0, -1):
+            p = geom.parent[c]
+            d[c] = mg.v_cycle(hiers[c], d[c], res[c], zb)
+            pad_f = pad_phi(geom, c, d, ell0, zb, ng=1)
+            dres = res[c] - mg.apply_padded(pad_f, aco_l[c], beta_l[c],
+                                            alpha, geom.dx(c), dm)
+            cov = covered_slice_rel(geom, c)
+            res[p] = res[p].at[cov].set(restrict_cells(dres, dm))
+            pad_c = pad_phi(geom, p, d, ell0, zb, ng=1)  # d[parent] == 0
+            res[p] = _reflux_correct(geom, c, res[p], pad_c,
+                                     pad_f, beta_l[p], beta_l[c])
         r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
         d[0] = mg.v_cycle(hiers[0], d[0], r0, zb, singular=singular)
-        for l in range(1, nlev):
-            cov = covered_slice_rel(geom, l - 1)
-            d[l] = d[l] + prolong_cells(d[l - 1][cov], dm)
-            pad = pad_phi(geom, l, d, ell0, zb, ng=1)
-            rl = res[l] - mg.apply_padded(pad, aco_l[l], beta_l[l], alpha,
-                                          geom.dx(l), dm)
-            d[l] = d[l] + mg.v_cycle(hiers[l], jnp.zeros_like(rl), rl, zb)
+        for c in range(1, nlev):
+            cov = covered_slice_rel(geom, c)
+            d[c] = d[c] + prolong_cells(d[geom.parent[c]][cov], dm)
+            pad = pad_phi(geom, c, d, ell0, zb, ng=1)
+            rl = res[c] - mg.apply_padded(pad, aco_l[c], beta_l[c], alpha,
+                                          geom.dx(c), dm)
+            d[c] = d[c] + mg.v_cycle(hiers[c], jnp.zeros_like(rl), rl, zb)
         return d
 
     def body(carry):
@@ -331,9 +339,9 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
     return list(phis), rn
 
 
-def covered_slice_rel(geom: MLGeom, lev: int):
-    """Slice of level-lev array covered by level lev+1."""
-    child, spec = geom.specs[lev + 1], geom.specs[lev]
+def covered_slice_rel(geom: MLGeom, ci: int):
+    """Slice of the PARENT array covered by child node ``ci``."""
+    child, spec = geom.specs[ci], geom.specs[geom.parent[ci]]
     return tuple(slice(child.lo[d] // 2 - spec.lo[d],
                        child.hi[d] // 2 - spec.lo[d])
                  for d in range(geom.dm))
@@ -344,15 +352,16 @@ def covered_slice_rel(geom: MLGeom, lev: int):
 # ---------------------------------------------------------------------------
 
 def _interface_values(geom: MLGeom, lev, phi_c):
-    """Fine-level boundary-node values on CF sides, interpolated from the
-    parent's nodal phi (linear along the interface)."""
+    """Fine-node boundary values on CF sides of node ``lev``, interpolated
+    from its parent's nodal phi (linear along the interface)."""
     dm = geom.dm
-    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    par = geom.parent[lev]
+    spec, pspec = geom.specs[lev], geom.specs[par]
     # wrap-pad parent nodal array along its periodic axes so prolongation
     # covers the last midpoint, then prolong once and slice the box faces
     pc = phi_c
     for d in range(dm):
-        if geom.side_kind(lev - 1, d, 0) == "per":
+        if geom.side_kind(par, d, 0) == "per":
             sl = [slice(None)] * dm
             sl[d] = slice(0, 1)
             pc = jnp.concatenate([pc, pc[tuple(sl)]], axis=d)
@@ -449,22 +458,27 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
     masks = [mask0] + [fine_nodal_mask(geom, l) for l in range(1, nlev)]
     singular = mask0 is None
 
-    def cov_cells(lev):
-        return covered_slice_rel(geom, lev)
-
     # sigma folded coarse-ward (rediscretized composite coefficient for the
     # correction hierarchies) and the uncovered-only coefficient/velocity
+    # (per node: zero/restrict EVERY child's covered region)
     sig_t = list(sigma_l)
-    for l in range(nlev - 2, -1, -1):
-        sig_t[l] = sig_t[l].at[cov_cells(l)].set(
-            restrict_cells(sig_t[l + 1], dm))
-    sig_uncov, rhs_uncov = [], []
-    for l in range(nlev - 1):
-        su = sigma_l[l].at[cov_cells(l)].set(0.0)
-        vu = vel_l[l].at[(slice(None),) + cov_cells(l)].set(0.0)
-        sig_uncov.append(su)
-        rhs_uncov.append(nodal.divu_rhs(vu, geom.dx(l), pmask_l[l], dm,
-                                        inflow_pad=inflow_pad_l[l]))
+    for c in range(nlev - 1, 0, -1):
+        p = geom.parent[c]
+        sig_t[p] = sig_t[p].at[covered_slice_rel(geom, c)].set(
+            restrict_cells(sig_t[c], dm))
+    sig_uncov, rhs_uncov = [None] * nlev, [None] * nlev
+    for l in range(nlev):
+        if not geom.children[l]:
+            continue
+        su = sigma_l[l]
+        vu = vel_l[l]
+        for c in geom.children[l]:
+            cov = covered_slice_rel(geom, c)
+            su = su.at[cov].set(0.0)
+            vu = vu.at[(slice(None),) + cov].set(0.0)
+        sig_uncov[l] = su
+        rhs_uncov[l] = nodal.divu_rhs(vu, geom.dx(l), pmask_l[l], dm,
+                                      inflow_pad=inflow_pad_l[l])
 
     hiers = [nodal.build_hierarchy(list(geom.specs[l].n), list(geom.dx(l)),
                                    pmask_l[l], sig_t[l], masks[l])
@@ -481,60 +495,64 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
     else:
         phis = [jnp.asarray(p) for p in phi0_l]
 
-    def covered_nodes(lev, full):
-        """Coarse-node window coincident with the child lattice; ``full``
-        includes the interface ring on cf sides."""
-        child, spec = geom.specs[lev + 1], geom.specs[lev]
+    def covered_nodes(ci, full):
+        """Parent-node window coincident with child ``ci``'s lattice;
+        ``full`` includes the interface ring on cf sides."""
+        child, spec = geom.specs[ci], geom.specs[geom.parent[ci]]
         sl = []
         for d in range(dm):
             lo = child.lo[d] // 2 - spec.lo[d]
             hi = child.hi[d] // 2 - spec.lo[d] + 1
-            if geom.side_kind(lev + 1, d, 0) == "per":
+            if geom.side_kind(ci, d, 0) == "per":
                 hi -= 1
-            elif not full and geom.side_kind(lev + 1, d, 0) == "cf":
+            elif not full and geom.side_kind(ci, d, 0) == "cf":
                 lo += 1
-            if not full and geom.side_kind(lev + 1, d, 1) == "cf":
+            if not full and geom.side_kind(ci, d, 1) == "cf":
                 hi -= 1
             sl.append(slice(lo, hi))
         return tuple(sl)
 
-    def restrict_full(r_f, lev):
+    def restrict_full(r_f, ci):
         """P^T restriction of an (unmasked) child residual onto the
         coincident coarse window (interface ring included)."""
-        pm = pmask_l[lev + 1]
+        pm = pmask_l[ci]
         return nodal._restrict(r_f, pm, dm)
 
-    def fine_node_window(lev):
-        """Strided slices into the child node array giving the nodes
-        coincident with covered_nodes(lev, False)."""
-        child = geom.specs[lev + 1]
+    def fine_node_window(ci):
+        """Strided slices into child ``ci``'s node array giving the nodes
+        coincident with covered_nodes(ci, False)."""
+        child = geom.specs[ci]
         sl = []
         for d in range(dm):
-            per = geom.side_kind(lev + 1, d, 0) == "per"
+            per = geom.side_kind(ci, d, 0) == "per"
             count = child.n[d] + (0 if per else 1)
-            lo = 2 if geom.side_kind(lev + 1, d, 0) == "cf" else 0
-            stop = count - 2 if geom.side_kind(lev + 1, d, 1) == "cf" else count
+            lo = 2 if geom.side_kind(ci, d, 0) == "cf" else 0
+            stop = count - 2 if geom.side_kind(ci, d, 1) == "cf" else count
             sl.append(slice(lo, stop + 1, 2))
         return tuple(sl)
 
     def set_interfaces(phis):
         for l in range(1, nlev):
-            phis[l] = _set_interface(geom, l, phis[l],
-                                     _interface_values(geom, l, phis[l - 1]))
+            phis[l] = _set_interface(
+                geom, l, phis[l],
+                _interface_values(geom, l, phis[geom.parent[l]]))
         return phis
 
     def comp_residuals(phis):
-        """Unmasked composite residual per level, folded fine->coarse:
-        fine rows = b_f - A_f phi_f (zero-extended); coarse covered +
-        interface rows = uncovered-cell part + P^T(child residual)."""
+        """Unmasked composite residual per node, folded fine->coarse:
+        leaf rows = b - A phi (zero-extended); covered + interface rows of
+        a parent = uncovered-cell part + P^T(each child's residual)."""
         res = [None] * nlev
-        res[nlev - 1] = rhs_l[nlev - 1] - nodal.nd_apply_raw(
-            lev_true[nlev - 1], phis[nlev - 1])
-        for l in range(nlev - 2, -1, -1):
+        for l in range(nlev - 1, -1, -1):
+            if not geom.children[l]:
+                res[l] = rhs_l[l] - nodal.nd_apply_raw(lev_true[l], phis[l])
+                continue
             r_own = rhs_uncov[l] - nodal._factored_apply(
                 phis[l], sig_uncov[l], geom.dx(l), pmask_l[l], dm)
-            res[l] = r_own.at[covered_nodes(l, True)].add(
-                restrict_full(res[l + 1], l))
+            for c in geom.children[l]:
+                r_own = r_own.at[covered_nodes(c, True)].add(
+                    restrict_full(res[c], c))
+            res[l] = r_own
         return res
 
     def resnorm(res):
@@ -552,11 +570,12 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
         d = [jnp.zeros_like(r) for r in res]
         res = list(res)
         for l in range(nlev - 1, 0, -1):
+            p = geom.parent[l]
             d[l] = nodal.v_cycle(hiers[l], d[l], res[l] * masks[l])
             d[l] = d[l] * masks[l]
             # fold the correction's composite defect into the parent rows
-            res[l - 1] = res[l - 1].at[covered_nodes(l - 1, True)].add(
-                restrict_full(-nodal.nd_apply_raw(hiers[l][0], d[l]), l - 1))
+            res[p] = res[p].at[covered_nodes(l, True)].add(
+                restrict_full(-nodal.nd_apply_raw(hiers[l][0], d[l]), l))
         r0 = res[0]
         if singular:
             r0 = r0 - jnp.mean(r0)
@@ -564,7 +583,7 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
             r0 = r0 * masks[0]
         d[0] = nodal.v_cycle(hiers[0], d[0], r0)
         for l in range(1, nlev):
-            seed = _prolong_node_patch(geom, l, d[l - 1])
+            seed = _prolong_node_patch(geom, l, d[geom.parent[l]])
             d[l] = d[l] + seed  # interface rows get the parent-interp trace
             rl = (res[l] - nodal.nd_apply_raw(hiers[l][0], d[l])) * masks[l]
             d[l] = d[l] + nodal.v_cycle(hiers[l], jnp.zeros_like(rl),
@@ -572,9 +591,10 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
         return d
 
     def slave(phis):
-        for l in range(nlev - 2, -1, -1):
-            phis[l] = phis[l].at[covered_nodes(l, False)].set(
-                phis[l + 1][fine_node_window(l)])
+        for c in range(nlev - 1, 0, -1):
+            p = geom.parent[c]
+            phis[p] = phis[p].at[covered_nodes(c, False)].set(
+                phis[c][fine_node_window(c)])
         return phis
 
     def body(carry):
@@ -602,12 +622,13 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
 
 
 def _prolong_node_patch(geom: MLGeom, lev, dc):
-    """Prolong a parent nodal correction onto the level-lev node lattice."""
+    """Prolong a parent nodal correction onto node ``lev``'s lattice."""
     dm = geom.dm
-    spec, pspec = geom.specs[lev], geom.specs[lev - 1]
+    par = geom.parent[lev]
+    spec, pspec = geom.specs[lev], geom.specs[par]
     pc = dc
     for d in range(dm):
-        if geom.side_kind(lev - 1, d, 0) == "per":
+        if geom.side_kind(par, d, 0) == "per":
             sl = [slice(None)] * dm
             sl[d] = slice(0, 1)
             pc = jnp.concatenate([pc, pc[tuple(sl)]], axis=d)

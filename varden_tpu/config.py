@@ -130,6 +130,12 @@ class VardenConfig:
     # float32 is the TPU-native fast path.
     dtype: str = "float64"
 
+    # Shard the run over a device mesh of this many chips (0 = single
+    # device). The TPU-native counterpart of the reference's always-on MPI
+    # decomposition (main.f90:13): state lives sharded over the mesh and
+    # XLA's SPMD partitioner inserts the halo exchanges and reductions.
+    mesh: int = 0
+
     # ------------------------------------------------------------------
     @property
     def dm(self) -> int:

@@ -41,11 +41,35 @@ class Varden:
         self._ml_hints = None     # per-level projection warm starts
         self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
         self._initial_proj = jax.jit(self._initial_projection_impl)
+        # first-class multi-chip: state lives sharded over a device mesh
+        # (the reference's MPI decomposition is always on, main.f90:13)
+        self.mesh = None
+        if cfg.mesh > 0:
+            from .parallel import mesh as pmesh
+            nd = len(jax.devices())
+            if cfg.mesh > nd:
+                import warnings
+                warnings.warn(f"mesh={cfg.mesh} devices requested but only "
+                              f"{nd} available; running unsharded")
+            else:
+                self.mesh = pmesh.make_mesh(cfg.mesh)
+
+    def _shard(self, state):
+        if self.mesh is None:
+            return state
+        from .parallel import mesh as pmesh
+        return pmesh.shard_state(state, self.sim, self.mesh)
+
+    def _shard_ml(self, states):
+        if self.mesh is None:
+            return states
+        from .parallel import mesh as pmesh
+        return pmesh.shard_ml_states(self.geom, states, self.mesh)
 
     # -- multi-level helpers -------------------------------------------
     def _ml_step_fn(self, proj_type):
         from .amr import advance_ml
-        key = (tuple(self.geom.specs), proj_type)
+        key = (self.geom.key(), proj_type)
         if key not in self._ml_cache:
             geom = self.geom
             self._ml_cache[key] = jax.jit(
@@ -58,11 +82,15 @@ class Varden:
         sim, geom = self.sim, self.geom
         pm = [[geom.side_kind(l, d, 0) == "per" for d in range(sim.dm)]
               for l in range(geom.nlev)]
-        return {
+        hints = {
             "phi_mac": [jnp.zeros(s.n, sim.dtype) for s in geom.specs],
             "phi_hg": [jnp.zeros(nodal.node_shape(geom.specs[l].n, pm[l]),
                                  sim.dtype) for l in range(geom.nlev)],
         }
+        if self.mesh is not None:
+            from .parallel import mesh as pmesh
+            hints = pmesh.shard_ml_hints(geom, hints, self.mesh)
+        return hints
 
     # ------------------------------------------------------------------
     def _initial_projection_impl(self, state: State) -> State:
@@ -83,6 +111,7 @@ class Varden:
             self.geom, states = regrid_mod.initialize_fixed(self.sim)
         else:
             self.geom, states = regrid_mod.initialize_adaptive(self.sim)
+        states = self._shard_ml(states)
         if cfg.grids_file_name:
             regrid_mod.write_grids(cfg.grids_file_name, self.geom, 0)
         if cfg.do_initial_projection > 0:
@@ -123,13 +152,15 @@ class Varden:
         self.istep += 1
         if cfg.regrid_int > 0 and (self.istep - 1) % cfg.regrid_int == 0 \
                 and self.istep > 1 and not cfg.fixed_grids:
-            new_specs = regrid_mod.compute_specs(self.sim, states,
-                                                 self.geom.specs)
-            if new_specs != list(self.geom.specs):
-                from .amr.fill import MLGeom
+            specs, parent, depth = regrid_mod.compute_tree(self.sim,
+                                                           self.geom, states)
+            from .amr.fill import MLGeom
+            new_geom = MLGeom(self.sim, specs, parent, depth)
+            if new_geom.key() != self.geom.key():
                 states = regrid_mod.build_level_data(self.sim, self.geom,
-                                                     states, new_specs)
-                self.geom = MLGeom(self.sim, new_specs)
+                                                     states, new_geom)
+                self.geom = new_geom
+                states = self._shard_ml(states)
                 self._ml_hints = None  # shapes changed; cold-start solves
                 if cfg.grids_file_name:
                     regrid_mod.write_grids(cfg.grids_file_name, self.geom,
@@ -167,6 +198,7 @@ class Varden:
             self.istep = header["istep"]
             if hints is not None:
                 self._ml_hints = hints
+            states = self._shard_ml(states)
         else:
             states = self.initialize_ml()
 
@@ -199,13 +231,18 @@ class Varden:
         sim = self.sim
         z_mac = jnp.zeros(sim.n_cell, sim.dtype)
         z_hg = jnp.zeros(sim.node_shape(), sim.dtype)
-        return {"phi_mac": z_mac, "phi_mac_prev": z_mac,
-                "phi_hg": z_hg, "phi_hg_prev": z_hg}
+        hints = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
+                 "phi_hg": z_hg, "phi_hg_prev": z_hg}
+        if self.mesh is not None:
+            from .parallel import mesh as pmesh
+            hints = pmesh.shard_hints(hints, sim, self.mesh)
+        return hints
 
     def initialize(self, state: Optional[State] = None) -> State:
         cfg = self.cfg
         if state is None:
             state = problems.initdata(self.sim)
+        state = self._shard(state)
         if cfg.restart < 0:
             if cfg.do_initial_projection > 0:
                 state = self._initial_proj(state)
@@ -300,7 +337,7 @@ class Varden:
         if self.ml:
             return self.run_ml(max_step)
         if cfg.restart >= 0 and state is None:
-            state = self.restart()
+            state = self._shard(self.restart())
         else:
             state = self.initialize(state)
         max_step = cfg.max_step if max_step is None else max_step

@@ -31,52 +31,87 @@ def _box_str(lo, hi, nodal=False):
         ",".join(str(i) for i in lo), ",".join(str(i) for i in hi), t)
 
 
+def write_multifab_boxes(level_dir: str, boxes, nodal: bool = False,
+                         prefix: str = "Cell"):
+    """Write a multifab with one FAB FILE PER BOX (the reference's fabio
+    layout: one grid per FAB, fabio_ml_multifab_write_d consumed at
+    varden.f90:568-573 / checkpoint.f90:44-48).
+
+    boxes: list of (data (ncomp, *n) float64, lo). ``nodal`` stamps the
+    index type bits (each box then spans lo..hi inclusive on the node
+    lattice: hi = lo + n - 1)."""
+    from . import native
+    os.makedirs(level_dir, exist_ok=True)
+    ncomp = boxes[0][0].shape[0]
+    dm = boxes[0][0].ndim - 1
+    box_lines, fab_lines = [], []
+    mins = [[float(np.min(data[c])) for c in range(ncomp)]
+            for data, _ in boxes]
+    maxs = [[float(np.max(data[c])) for c in range(ncomp)]
+            for data, _ in boxes]
+    for b, (data, lo) in enumerate(boxes):
+        n = data.shape[1:]
+        lo = list(lo) if lo is not None else [0] * dm
+        hi = [lo[d] + n[d] - 1 - (1 if nodal else 0) for d in range(dm)]
+        box_lines.append("(%s)" % _box_str(lo, hi, nodal))
+        fab_path = os.path.join(level_dir, f"{prefix}_D_{b:05d}")
+        # AMReX FAB header line: "FAB (...)((lo) (hi) (type)) ncomp"
+        hdr = f"{_FAB_HEADER}({_box_str(lo, hi, nodal)}) {ncomp}\n"
+        if not native.write_fab(fab_path, hdr, np.asarray(data, np.float64)):
+            with open(fab_path, "wb") as f:
+                f.write(hdr.encode())
+                # Fortran order, component slowest
+                arr = np.ascontiguousarray(
+                    np.stack([np.asarray(data[c], np.float64).T
+                              for c in range(ncomp)]))
+                f.write(arr.tobytes())
+        fab_lines.append(f"FabOnDisk: {prefix}_D_{b:05d} 0")
+
+    with open(os.path.join(level_dir, f"{prefix}_H"), "w") as f:
+        f.write("1\n1\n%d\n0\n" % ncomp)
+        f.write("(%d 0\n%s\n)\n" % (len(boxes), "\n".join(box_lines)))
+        f.write("%d\n" % len(boxes))
+        f.write("\n".join(fab_lines) + "\n")
+        f.write("\n%d,%d\n" % (len(boxes), ncomp))
+        for row in mins:
+            f.write(",".join(f"{v:.16e}" for v in row) + ",\n")
+        f.write("\n%d,%d\n" % (len(boxes), ncomp))
+        for row in maxs:
+            f.write(",".join(f"{v:.16e}" for v in row) + ",\n")
+
+
 def write_multifab(level_dir: str, data: np.ndarray, lo=None,
                    nodal: bool = False, prefix: str = "Cell"):
     """Write one dense grid as a single-FAB multifab (Cell_H + Cell_D_00000).
 
-    data: (ncomp, *n) float64. ``nodal`` stamps the index type bits (data
-    then spans lo..hi inclusive on the node lattice: hi = lo + n - 1)."""
-    ncomp = data.shape[0]
-    n = data.shape[1:]
-    dm = len(n)
-    lo = lo or [0] * dm
-    hi = [lo[d] + n[d] - 1 - (1 if nodal else 0) for d in range(dm)]
-    os.makedirs(level_dir, exist_ok=True)
-
-    fab_path = os.path.join(level_dir, f"{prefix}_D_00000")
-    # AMReX FAB header line: "FAB (...)((lo) (hi) (type)) ncomp"
-    hdr = f"{_FAB_HEADER}({_box_str(lo, hi, nodal)}) {ncomp}\n"
-    from . import native
-    if not native.write_fab(fab_path, hdr, np.asarray(data, np.float64)):
-        with open(fab_path, "wb") as f:
-            f.write(hdr.encode())
-            # Fortran order, component slowest
-            arr = np.ascontiguousarray(
-                np.stack([np.asarray(data[c], np.float64).T
-                          for c in range(ncomp)]))
-            f.write(arr.tobytes())
-
-    mins = [float(np.min(data[c])) for c in range(ncomp)]
-    maxs = [float(np.max(data[c])) for c in range(ncomp)]
-    with open(os.path.join(level_dir, f"{prefix}_H"), "w") as f:
-        f.write("1\n1\n%d\n0\n" % ncomp)
-        f.write("(1 0\n(%s)\n)\n" % _box_str(lo, hi, nodal))
-        f.write("1\n")
-        f.write(f"FabOnDisk: {prefix}_D_00000 0\n")
-        f.write("\n1,%d\n" % ncomp)
-        f.write(",".join(f"{v:.16e}" for v in mins) + ",\n")
-        f.write("\n1,%d\n" % ncomp)
-        f.write(",".join(f"{v:.16e}" for v in maxs) + ",\n")
+    data: (ncomp, *n) float64."""
+    write_multifab_boxes(level_dir, [(data, lo)], nodal=nodal, prefix=prefix)
 
 
 def read_multifab(level_dir: str, prefix: str = "Cell"):
-    """General multifab reader: multi-FAB (multi-box) Cell_H with per-FAB
-    file/offset entries, assembled into one dense array over the bounding
-    box (the package's level representation).
+    """Multifab reader assembling all boxes onto their bounding box.
 
     Returns (arr (ncomp, *n), lo, nodal) where ``lo`` is the bbox smallend
     and ``n`` spans the bbox (nodal boxes get their +1 point per axis)."""
+    per_box, nodal = read_multifab_boxes(level_dir, prefix)
+    dm = per_box[0][0].ndim - 1
+    ncomp = per_box[0][0].shape[0]
+    blo = [min(lo[d] for _a, lo in per_box) for d in range(dm)]
+    bhi = [max(lo[d] + a.shape[1 + d] for a, lo in per_box)
+           for d in range(dm)]
+    n = tuple(bhi[d] - blo[d] for d in range(dm))
+    out = np.zeros((ncomp,) + n, np.float64)
+    for a, lo in per_box:
+        sl = tuple(slice(lo[d] - blo[d], lo[d] - blo[d] + a.shape[1 + d])
+                   for d in range(dm))
+        out[(slice(None),) + sl] = a
+    return out, blo, nodal
+
+
+def read_multifab_boxes(level_dir: str, prefix: str = "Cell"):
+    """General multifab reader: multi-FAB (multi-box) Cell_H with per-FAB
+    file/offset entries. Returns ([(arr (ncomp, *bn), lo), ...], nodal) —
+    one entry per box (nodal boxes carry their +1 point per axis)."""
     with open(os.path.join(level_dir, f"{prefix}_H")) as f:
         txt = f.read()
     lines = [ln for ln in txt.split("\n")]
@@ -109,10 +144,7 @@ def read_multifab(level_dir: str, prefix: str = "Cell"):
     dm = len(boxes[0][0])
     nodal = boxes[0][2][0] == 1
     ext = 1 if nodal else 0
-    blo = [min(b[0][d] for b in boxes) for d in range(dm)]
-    bhi = [max(b[1][d] for b in boxes) + 1 + ext for d in range(dm)]
-    n = tuple(bhi[d] - blo[d] for d in range(dm))
-    out = np.zeros((ncomp,) + n, np.float64)
+    out = []
     from . import native
     for (lo, hi, _t), (fname, off) in zip(boxes, fabs):
         bn = tuple(hi[d] - lo[d] + 1 + ext for d in range(dm))
@@ -147,23 +179,27 @@ def read_multifab(level_dir: str, prefix: str = "Cell"):
         vsl = tuple(slice(lo[d] - flo[d], lo[d] - flo[d] + bn[d])
                     for d in range(dm))
         arr = arr[(slice(None),) + vsl]
-        sl = tuple(slice(lo[d] - blo[d], lo[d] - blo[d] + bn[d])
-                   for d in range(dm))
-        out[(slice(None),) + sl] = arr[:ncomp]
-    return out, blo, nodal
+        out.append((arr[:ncomp], list(lo)))
+    return out, nodal
 
 
 def write_plotfile(name: str, sim, fields: np.ndarray,
                    field_names: Sequence[str], time: float,
-                   level_fields: List[np.ndarray] = None,
+                   level_fields: List = None,
                    level_los: List[List[int]] = None, ref_ratio: int = 2):
     """Write a plotfile directory. ``fields``: (ncomp, *n) for level 0;
-    optional finer levels via level_fields/level_los (cell index of each
-    level's lo corner on its own index space)."""
+    optional finer levels via level_fields/level_los — each finer level is
+    either one (ncomp, *n) array with its lo corner in level_los, or a LIST
+    of (array, lo) boxes (one FAB per patch, the reference's fabio layout,
+    varden.f90:568-573)."""
     dm = sim.dm
     ncomp = fields.shape[0]
-    levels = [fields] + list(level_fields or [])
-    los = [[0] * dm] + list(level_los or [])
+    levels = [[(fields, [0] * dm)]]
+    for i, lf in enumerate(level_fields or []):
+        if isinstance(lf, (list, tuple)) and not hasattr(lf, "shape"):
+            levels.append(list(lf))
+        else:
+            levels.append([(lf, list(level_los[i]))])
     nlev = len(levels)
     os.makedirs(name, exist_ok=True)
 
@@ -182,12 +218,12 @@ def write_plotfile(name: str, sim, fields: np.ndarray,
         f.write(" ".join(f"{v:.16e}" for v in prob_hi) + " \n")
         f.write(" ".join(str(ref_ratio) for _ in range(nlev - 1)) + " \n")
         dom = []
-        for lev, arr in enumerate(levels):
-            n = arr.shape[1:]
-            lo = los[lev]
-            hi = [lo[d] + n[d] - 1 for d in range(dm)]
+        for lev in range(nlev):
+            # the level's PROBLEM DOMAIN box (reference plotfile semantics)
+            hi = [sim.n_cell[d] * ref_ratio ** lev - 1 for d in range(dm)]
             dom.append("((%s) (%s) (%s))" % (
-                ",".join(str(v) for v in lo), ",".join(str(v) for v in hi),
+                ",".join("0" for _ in range(dm)),
+                ",".join(str(v) for v in hi),
                 ",".join("0" for _ in range(dm))))
         f.write(" ".join(dom) + " \n")
         f.write(" ".join("0" for _ in range(nlev)) + " \n")
@@ -195,21 +231,22 @@ def write_plotfile(name: str, sim, fields: np.ndarray,
             dxl = [h / ref_ratio**lev for h in dx0]
             f.write(" ".join(f"{h:.16e}" for h in dxl) + " \n")
         f.write("0\n0\n")
-        for lev, arr in enumerate(levels):
-            n = arr.shape[1:]
-            lo = los[lev]
+        for lev, boxes in enumerate(levels):
             dxl = [h / ref_ratio**lev for h in dx0]
-            f.write(f"{lev} 1 {time:.16e}\n")
+            f.write(f"{lev} {len(boxes)} {time:.16e}\n")
             f.write("0\n")
-            for d in range(dm):
-                xlo = prob_lo[d] + lo[d] * dxl[d]
-                xhi = prob_lo[d] + (lo[d] + n[d]) * dxl[d]
-                f.write(f"{xlo:.16e} {xhi:.16e}\n")
+            for arr, lo in boxes:
+                n = arr.shape[1:]
+                for d in range(dm):
+                    xlo = prob_lo[d] + lo[d] * dxl[d]
+                    xhi = prob_lo[d] + (lo[d] + n[d]) * dxl[d]
+                    f.write(f"{xlo:.16e} {xhi:.16e}\n")
             f.write(f"Level_{lev}/Cell\n")
 
-    for lev, arr in enumerate(levels):
-        write_multifab(os.path.join(name, f"Level_{lev}"),
-                       np.asarray(arr, np.float64), los[lev])
+    for lev, boxes in enumerate(levels):
+        write_multifab_boxes(
+            os.path.join(name, f"Level_{lev}"),
+            [(np.asarray(arr, np.float64), lo) for arr, lo in boxes])
 
 
 def read_plotfile(name: str):

@@ -154,14 +154,15 @@ def read_checkpoint(sim: Sim, name: str):
 
 def write_plotfile_ml(geom, states, istep: int, time: float,
                       base: str = None):
-    """Multi-level BoxLib plotfile (reference varden.f90:492-592)."""
+    """Multi-level BoxLib plotfile (reference varden.f90:492-592): one FAB
+    per patch, patches grouped by depth into Level_d multifabs."""
     from . import boxlib
     from ..amr.fill import pad_ml_multi
     from ..ops import basic as _b
     sim = geom.sim
     name = f"{base or sim.cfg.plot_base_name}{istep:05d}"
     u_l = [st.u for st in states]
-    level_arrays = []
+    node_arrays = []
     for l in range(geom.nlev):
         st = states[l]
         u_pad = pad_ml_multi(geom, u_l, list(range(sim.dm)), l, sim.ng)
@@ -171,11 +172,12 @@ def write_plotfile_ml(geom, states, istep: int, time: float,
         comps += [st.s[i] for i in range(sim.nscal)]
         comps += [_b.magvel(st.u), vort]
         comps += [st.gp[d] for d in range(sim.dm)]
-        level_arrays.append(np.stack([np.asarray(c) for c in comps]))
-    boxlib.write_plotfile(name, sim, level_arrays[0], plot_field_names(sim),
-                          time, level_fields=level_arrays[1:],
-                          level_los=[list(geom.specs[l].lo)
-                                     for l in range(1, geom.nlev)])
+        node_arrays.append(np.stack([np.asarray(c) for c in comps]))
+    level_fields = [[(node_arrays[i], list(geom.specs[i].lo))
+                     for i in geom.nodes_at(d)]
+                    for d in range(1, geom.ndepth)]
+    boxlib.write_plotfile(name, sim, node_arrays[0], plot_field_names(sim),
+                          time, level_fields=level_fields)
     return name
 
 
@@ -191,53 +193,75 @@ def write_checkpoint_ml(geom, states, istep: int, time: float, dt: float,
     sim = geom.sim
     name = f"{base or sim.cfg.check_base_name}{istep:05d}"
     os.makedirs(name, exist_ok=True)
-    for l, st in enumerate(states):
-        lo = list(geom.specs[l].lo)
-        chk = np.concatenate([np.asarray(st.u), np.asarray(st.s),
-                              np.asarray(st.gp)])
-        boxlib.write_multifab(os.path.join(name, "State", f"Level_{l}"),
-                              np.asarray(chk, np.float64), lo)
-        # a fine level wraps only on axes it fully spans (side_kind 'per')
-        pm_l = [geom.side_kind(l, d, 0) == "per" for d in range(sim.dm)]
-        boxlib.write_multifab(os.path.join(name, "Pressure", f"Level_{l}"),
-                              _wrap_nodal(np.asarray(st.p, np.float64)[None],
-                                          pm_l), lo, nodal=True)
+    for d in range(geom.ndepth):
+        nodes = geom.nodes_at(d)
+        st_boxes, p_boxes = [], []
+        for i in nodes:
+            st = states[i]
+            lo = list(geom.specs[i].lo)
+            chk = np.concatenate([np.asarray(st.u), np.asarray(st.s),
+                                  np.asarray(st.gp)])
+            st_boxes.append((np.asarray(chk, np.float64), lo))
+            # a patch wraps only on axes it fully spans (side_kind 'per')
+            pm_l = [geom.side_kind(i, t, 0) == "per" for t in range(sim.dm)]
+            p_boxes.append((_wrap_nodal(np.asarray(st.p, np.float64)[None],
+                                        pm_l), lo))
+        boxlib.write_multifab_boxes(os.path.join(name, "State", f"Level_{d}"),
+                                    st_boxes)
+        boxlib.write_multifab_boxes(
+            os.path.join(name, "Pressure", f"Level_{d}"), p_boxes,
+            nodal=True)
     if hints is not None:
         payload = {}
         for l in range(geom.nlev):
             payload[f"phi_mac_{l}"] = np.asarray(hints["phi_mac"][l])
             payload[f"phi_hg_{l}"] = np.asarray(hints["phi_hg"][l])
         np.savez(os.path.join(name, "hints.npz"), **payload)
-    _write_chk_header(name, time, dt, geom.nlev)
+    _write_chk_header(name, time, dt, geom.ndepth)
     write_job_info(name, sim)
     return name
 
 
 def read_checkpoint_ml(sim: Sim, name: str):
+    """Rebuild the patch tree from the stored per-level boxarrays (the
+    reference's fill_restart_data role, restart.f90:15-50): each box at
+    depth d parents to the depth-(d-1) box containing it."""
     from . import boxlib
     from ..amr.fill import MLGeom
     from ..amr.hierarchy import LevelSpec
     time, dt, nlevs = _read_chk_header(name)
-    states, specs = [], []
     dtype = sim.dtype
     dm, nscal = sim.dm, sim.nscal
-    for l in range(nlevs):
-        chk, lo, _ = boxlib.read_multifab(
-            os.path.join(name, "State", f"Level_{l}"))
-        p, _plo, nodal = boxlib.read_multifab(
-            os.path.join(name, "Pressure", f"Level_{l}"))
+    specs, parent, depth, states = [], [], [], []
+    for d in range(nlevs):
+        st_boxes, _ = boxlib.read_multifab_boxes(
+            os.path.join(name, "State", f"Level_{d}"))
+        p_boxes, nodal = boxlib.read_multifab_boxes(
+            os.path.join(name, "Pressure", f"Level_{d}"))
         assert nodal
-        nl = chk.shape[1:]
-        pm_l = [sim.pmask[d] and lo[d] == 0
-                and lo[d] + nl[d] == sim.n_cell[d] * 2 ** l
-                for d in range(dm)]
-        p = _unwrap_nodal(p, pm_l, nl)
-        specs.append(LevelSpec(tuple(lo), tuple(chk.shape[1:])))
-        states.append(State(u=jnp.asarray(chk[:dm], dtype),
-                            s=jnp.asarray(chk[dm:dm + nscal], dtype),
-                            gp=jnp.asarray(chk[dm + nscal:], dtype),
-                            p=jnp.asarray(p[0], dtype)))
-    geom = MLGeom(sim, specs)
+        for (chk, lo), (p, _plo) in zip(st_boxes, p_boxes):
+            nl = chk.shape[1:]
+            spec = LevelSpec(tuple(lo), tuple(nl))
+            if d == 0:
+                par = -1
+            else:
+                par = next(j for j in range(len(specs))
+                           if depth[j] == d - 1 and all(
+                               specs[j].lo[t] * 2 <= lo[t] and
+                               lo[t] + nl[t] <= specs[j].hi[t] * 2
+                               for t in range(dm)))
+            dn = [sim.n_cell[t] * 2 ** d for t in range(dm)]
+            pm_l = [sim.pmask[t] and lo[t] == 0 and lo[t] + nl[t] == dn[t]
+                    for t in range(dm)]
+            p = _unwrap_nodal(p, pm_l, nl)
+            specs.append(spec)
+            parent.append(par)
+            depth.append(d)
+            states.append(State(u=jnp.asarray(chk[:dm], dtype),
+                                s=jnp.asarray(chk[dm:dm + nscal], dtype),
+                                gp=jnp.asarray(chk[dm + nscal:], dtype),
+                                p=jnp.asarray(p[0], dtype)))
+    geom = MLGeom(sim, specs, parent, depth)
     header = {"time": time, "dt": dt, "nlevs": nlevs,
               "istep": _istep_of(name), "n_cell": list(sim.n_cell),
               "dim": dm, "specs": [[list(s.lo), list(s.n)] for s in specs]}
@@ -246,9 +270,9 @@ def read_checkpoint_ml(sim: Sim, name: str):
     if os.path.exists(hp):
         data = np.load(hp)
         hints = {"phi_mac": [jnp.asarray(data[f"phi_mac_{l}"], dtype)
-                             for l in range(nlevs)],
+                             for l in range(geom.nlev)],
                  "phi_hg": [jnp.asarray(data[f"phi_hg_{l}"], dtype)
-                            for l in range(nlevs)]}
+                            for l in range(geom.nlev)]}
     return geom, states, header, hints
 
 

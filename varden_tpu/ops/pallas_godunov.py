@@ -70,6 +70,8 @@ class _Plan:
         self.tx = 0
         for t in ((24, 16, 12, 8, 4, 2, 1) if heavy
                   else (24, 16, 8, 4, 2, 1)):
+            if t > max(n0 - 2 * SLAB, 0):
+                continue          # need >= 1 interior tile on small grids
             if live_slabs * (t + 2 * ng) * yb * zb * 4 < budget_mb * 2 ** 20:
                 self.tx = t
                 break
@@ -249,6 +251,9 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
     """Tiled-interior + slab-boundary velpred. Returns interior MAC faces
     exactly as godunov3d.velpred_3d."""
     p = _Plan(n_cell, ng)
+    if not p.ok:
+        return godunov3d.velpred_3d(u, force, dt, dx, phys_bc, adv_bc_vel,
+                                    ng, n_cell, slope_order, use_minion)
     n0, n1, n2 = n_cell
 
     umax = jnp.max(jnp.abs(u[:, ng:ng + n0, ng:ng + n1, ng:ng + n2]))
@@ -327,6 +332,10 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     as godunov3d.mkflux_3d."""
     nc = s.shape[0]
     p = _Plan(n_cell, ng, heavy=True)
+    if not p.ok:
+        return godunov3d.mkflux_3d(s, mac_pads, force, mac_rhs, dt, dx,
+                                   phys_bc, adv_bc, ng, n_cell, is_vel,
+                                   is_conservative, slope_order, use_minion)
     n0, n1, n2 = n_cell
 
     macw = mac_wins(mac_pads, ng, n_cell)

@@ -98,6 +98,50 @@ def shard_state(state: State, sim: Sim, mesh: Mesh) -> State:
                  p=jax.device_put(state.p, sh.p))
 
 
+def _even_cell_spec(sim: Sim, mesh: Mesh, shape, lead: int) -> P:
+    """Cell-array sharding with ``lead`` leading (component) axes: a spatial
+    axis shards only when its extent divides the mesh axis (fine patches
+    with odd extents stay replicated on that axis)."""
+    sizes = _axis_sizes(mesh)
+    names = mesh.axis_names
+    spec = [None] * lead
+    for d in range(sim.dm):
+        nm = names[d] if d < len(names) else None
+        if nm is not None and shape[lead + d] % sizes[nm] == 0:
+            spec.append(nm)
+        else:
+            spec.append(None)
+    return P(*spec)
+
+
+def shard_ml_states(geom, states, mesh: Mesh):
+    """device_put every patch's fields with spatial shardings — the
+    reference distributes EVERY level's boxes over the same ranks
+    (varden.f90:273-300; box layouts are level-agnostic)."""
+    sim = geom.sim
+    out = []
+    for st in states:
+        cell = NamedSharding(mesh, _even_cell_spec(sim, mesh, st.u.shape, 1))
+        node = NamedSharding(mesh, _node_spec(sim, mesh, st.p.shape))
+        out.append(State(u=jax.device_put(st.u, cell),
+                         s=jax.device_put(st.s, cell),
+                         gp=jax.device_put(st.gp, cell),
+                         p=jax.device_put(st.p, node)))
+    return out
+
+
+def shard_ml_hints(geom, hints: dict, mesh: Mesh) -> dict:
+    sim = geom.sim
+    out = {"phi_mac": [], "phi_hg": []}
+    for v in hints["phi_mac"]:
+        sh = NamedSharding(mesh, _even_cell_spec(sim, mesh, v.shape, 0))
+        out["phi_mac"].append(jax.device_put(v, sh))
+    for v in hints["phi_hg"]:
+        sh = NamedSharding(mesh, _node_spec(sim, mesh, v.shape))
+        out["phi_hg"].append(jax.device_put(v, sh))
+    return out
+
+
 def sharded_step(sim: Sim, mesh: Mesh, proj_type=None):
     """A jitted advance_timestep with sharded in/out states."""
     from .. import advance, projection

@@ -68,12 +68,78 @@ def bench_amr(n, dtype):
     }))
 
 
+def check_fused(n, dtype):
+    """VARDEN_CHECK_FUSED=1: run the fused Pallas Godunov kernels AND the
+    windowed path on the attached device and record their max deviation in
+    FUSED_CHECK.json (the TPU-run counterpart of the interpret-mode kernel
+    tests — SURVEY.md §4 items 1/3)."""
+    import jax.numpy as jnp
+    from varden_tpu.config import VardenConfig
+    from varden_tpu.state import Sim
+    from varden_tpu import advance, problems
+    from varden_tpu.ops import basic, godunov3d, pallas_godunov
+
+    cfg = VardenConfig(
+        dim_in=3, prob_type=1, n_cellx=n, n_celly=n, n_cellz=n,
+        bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15,
+        grav=-9.8, visc_coef=1e-3, dtype=dtype)
+    sim = Sim(cfg)
+    if not pallas_godunov.tiles_supported(sim.n_cell, sim.dtype, sim.ng):
+        print(json.dumps({"fused_check": "unsupported", "n": n}))
+        return
+    state = problems.initdata(sim)
+    dt = jnp.asarray(5e-4, sim.dtype)
+    ng, dm = sim.ng, sim.dm
+    adv_bc_vel = [sim.adv_bc[d] for d in range(dm)]
+    adv_bc_scal = [sim.adv_bc[sim.scal_comp(i)] for i in range(sim.nscal)]
+    is_cons = [True] + [False] * (sim.nscal - 1)
+
+    @jax.jit
+    def both(state):
+        lapu = advance.lap_velocity(sim, state.u)
+        vf = basic.mkvelforce(cfg.ext_force, state.s, state.gp, lapu,
+                              cfg.visc_coef, 1.0, cfg.boussinesq)
+        u_pad = sim.fill_vel(state.u)
+        vf_pad = sim.fill_extrap(vf, ng)
+        args = (u_pad, vf_pad, dt, sim.dx, sim.phys_bc, adv_bc_vel, ng,
+                sim.n_cell, cfg.slope_order, cfg.use_minion)
+        mac_f = pallas_godunov.velpred_3d_fused(*args)
+        mac_w = godunov3d.velpred_3d(*args)
+        vel_err = jnp.max(jnp.stack(
+            [jnp.max(jnp.abs(a - b)) for a, b in zip(mac_f, mac_w)]))
+        mp = advance.embed_faces(sim, mac_w, ng)
+        s_pad = sim.fill_scal(state.s)
+        sf_pad = sim.fill_extrap(jnp.zeros_like(state.s), ng)
+        mrhs = sim.fill_extrap(jnp.zeros(sim.n_cell, sim.dtype), ng)
+        margs = (s_pad, mp, sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
+                 adv_bc_scal, ng, sim.n_cell, False, is_cons,
+                 cfg.slope_order, cfg.use_minion)
+        se_f, sf_f = pallas_godunov.mkflux_3d_fused(*margs)
+        se_w, sf_w = godunov3d.mkflux_3d(*margs)
+        mk_err = jnp.max(jnp.stack(
+            [jnp.max(jnp.abs(a - b)) for a, b in zip(se_f + sf_f,
+                                                     se_w + sf_w)]))
+        return vel_err, mk_err
+
+    ve, me = both(state)
+    result = {"fused_check": {"n": n, "dtype": dtype,
+                              "velpred_max_err": float(ve),
+                              "mkflux_max_err": float(me),
+                              "backend": jax.default_backend()}}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "FUSED_CHECK.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
 def main():
     # BASELINE.json's metric is cell-updates/sec/chip at 256^3
     n = int(os.environ.get("BENCH_N", "256"))
     k1 = int(os.environ.get("BENCH_K1", "1"))
     k2 = int(os.environ.get("BENCH_K2", "6"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    if os.environ.get("VARDEN_CHECK_FUSED", ""):
+        return check_fused(int(os.environ.get("BENCH_N", "128")), dtype)
     if os.environ.get("BENCH_MODE", "") == "amr":
         return bench_amr(int(os.environ.get("BENCH_N", "64")), dtype)
 

@@ -136,6 +136,11 @@ class VardenConfig:
     # XLA's SPMD partitioner inserts the halo exchanges and reductions.
     mesh: int = 0
 
+    # Coarsen plot output by 2x before writing (the reference's
+    # coarsen_plot_data branch, varden.f90:521-588 — a compile-time flag
+    # there, implemented for single-level runs only).
+    coarsen_plot_data: int = 0
+
     # ------------------------------------------------------------------
     @property
     def dm(self) -> int:

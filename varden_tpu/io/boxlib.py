@@ -186,7 +186,8 @@ def read_multifab_boxes(level_dir: str, prefix: str = "Cell"):
 def write_plotfile(name: str, sim, fields: np.ndarray,
                    field_names: Sequence[str], time: float,
                    level_fields: List = None,
-                   level_los: List[List[int]] = None, ref_ratio: int = 2):
+                   level_los: List[List[int]] = None, ref_ratio: int = 2,
+                   coarsen: int = 1):
     """Write a plotfile directory. ``fields``: (ncomp, *n) for level 0;
     optional finer levels via level_fields/level_los — each finer level is
     either one (ncomp, *n) array with its lo corner in level_los, or a LIST
@@ -204,7 +205,10 @@ def write_plotfile(name: str, sim, fields: np.ndarray,
     os.makedirs(name, exist_ok=True)
 
     prob_lo, prob_hi = sim.cfg.prob_lo, sim.cfg.prob_hi
-    dx0 = sim.dx
+    # ``coarsen``: the data was cell-averaged by this factor before the call
+    # (reference coarsen_plot_data, varden.f90:548-573)
+    dx0 = tuple(h * coarsen for h in sim.dx)
+    n_cell0 = tuple(s // coarsen for s in sim.n_cell)
 
     with open(os.path.join(name, "Header"), "w") as f:
         f.write("HyperCLaw-V1.1\n")
@@ -220,7 +224,7 @@ def write_plotfile(name: str, sim, fields: np.ndarray,
         dom = []
         for lev in range(nlev):
             # the level's PROBLEM DOMAIN box (reference plotfile semantics)
-            hi = [sim.n_cell[d] * ref_ratio ** lev - 1 for d in range(dm)]
+            hi = [n_cell0[d] * ref_ratio ** lev - 1 for d in range(dm)]
             dom.append("((%s) (%s) (%s))" % (
                 ",".join("0" for _ in range(dm)),
                 ",".join(str(v) for v in hi),

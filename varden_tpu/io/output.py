@@ -46,8 +46,16 @@ def write_plotfile(sim: Sim, state: State, istep: int, time: float, dt: float,
                    base: str = None):
     from . import boxlib
     name = f"{base or sim.cfg.plot_base_name}{istep:05d}"
-    boxlib.write_plotfile(name, sim, plot_fields(sim, state),
-                          plot_field_names(sim), time)
+    fields = plot_fields(sim, state)
+    coarsen = 1
+    if sim.cfg.coarsen_plot_data:
+        # 2x cell-average restriction before writing (reference
+        # coarsen_plot_data branch, varden.f90:548-573, nlevs=1 only)
+        from ..amr.hierarchy import restrict_cells
+        fields = np.asarray(restrict_cells(jnp.asarray(fields), sim.dm))
+        coarsen = 2
+    boxlib.write_plotfile(name, sim, fields, plot_field_names(sim), time,
+                          coarsen=coarsen)
     return name
 
 

@@ -164,3 +164,96 @@ def profile_phases(sim, state, dt, n_rep: int = 3):
     for k, v in phases.items():
         print(f"  {k}: {v:.6f} seconds")
     return phases
+
+
+def profile_phases_ml(geom, states, dt, n_rep: int = 3):
+    """Per-phase wall times of one MULTI-LEVEL timestep (Godunov predictor
+    across all patches, composite MAC projection, scalar advance with flux
+    sync, composite nodal projection) — the reference prints the same
+    Scalar/Velocity/MAC/HG summary regardless of nlevs
+    (advance_timestep.f90:150-166). Returns {phase: seconds}."""
+    import jax.numpy as jnp
+    from . import projection
+    from .amr import advance_ml
+    from .amr.fill import pad_ml_multi
+    from .ops import basic, godunov, godunov3d, pallas_godunov
+
+    sim = geom.sim
+    cfg = sim.cfg
+    dm, ng, nlev = geom.dm, sim.ng, geom.nlev
+    adv_bc_vel = [sim.adv_bc[d] for d in range(dm)]
+    vel_comps = list(range(dm))
+
+    @jax.jit
+    def premac(states, dt):
+        u_l = [st.u for st in states]
+        s_l = [st.s for st in states]
+        gp_l = [st.gp for st in states]
+        umac_l = []
+        for l in range(nlev):
+            u_pad = pad_ml_multi(geom, u_l, vel_comps, l, ng)
+            vf = basic.mkvelforce(cfg.ext_force, s_l[l], gp_l[l],
+                                  jnp.zeros_like(u_l[l]), cfg.visc_coef,
+                                  1.0, cfg.boussinesq)
+            vf_pad = pad_ml_multi(geom, [vf if i == l else
+                                         jnp.zeros_like(u_l[i])
+                                         for i in range(nlev)],
+                                  [sim.extrap_comp] * dm, l, ng)
+            pb = geom.phys_bc_level(l)
+            nl = geom.specs[l].n
+            if dm == 2:
+                umac = godunov.velpred_2d(u_pad, vf_pad, dt, geom.dx(l), pb,
+                                          adv_bc_vel, ng, nl,
+                                          cfg.slope_order, cfg.use_minion)
+            elif pallas_godunov.tiles_supported(nl, sim.dtype, ng):
+                umac = pallas_godunov.velpred_3d_fused(
+                    u_pad, vf_pad, dt, geom.dx(l), pb, adv_bc_vel, ng, nl,
+                    cfg.slope_order, cfg.use_minion)
+            else:
+                umac = godunov3d.velpred_3d(
+                    u_pad, vf_pad, dt, geom.dx(l), pb, adv_bc_vel, ng, nl,
+                    cfg.slope_order, cfg.use_minion)
+            umac_l.append(umac)
+        return advance_ml.edge_restrict_mac(geom, umac_l)
+
+    @jax.jit
+    def mac(states, umac_l):
+        return advance_ml.macproject_ml(geom, umac_l,
+                                        [st.s for st in states])
+
+    @jax.jit
+    def hg(states, dt):
+        rhohalf_l = [st.s[0] for st in states]
+        return advance_ml.hgproject_ml(
+            geom, projection.REGULAR_TIMESTEP, [st.u for st in states],
+            [st.u for st in states], rhohalf_l, [st.p for st in states],
+            [st.gp for st in states], dt)
+
+    umac_l = premac(states, dt)
+    jax.block_until_ready(umac_l)
+    macd = mac(states, umac_l)
+    jax.block_until_ready(macd[0])
+    hgd = hg(states, dt)
+    jax.block_until_ready(hgd[0])
+
+    def _force(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return float(jnp.sum(leaf))
+
+    def timeit(fn, *args):
+        _force(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            r = fn(*args)
+        _force(r)
+        return (time.perf_counter() - t0) / n_rep
+
+    phases = {
+        "Velocity update (premac, all levels)": timeit(premac, states, dt),
+        "MAC Projection (composite)": timeit(mac, states, umac_l),
+        "HG Projection (composite)": timeit(hg, states, dt),
+    }
+    print(f"Timing summary ({nlev} patches, {geom.ndepth} levels):")
+    for k, v in phases.items():
+        print(f"  {k}: {v:.6f} seconds")
+    return phases

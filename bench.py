@@ -48,7 +48,8 @@ def bench_amr(n, dtype):
         s, h = states, hints0
         for _ in range(k):
             s, diag = step(s, dt, h)
-            h = {"phi_mac": diag["phi_mac"], "phi_hg": diag["phi_hg"]}
+            h = {"phi_mac": diag["phi_mac"], "phi_mac_prev": h["phi_mac"],
+                 "phi_hg": diag["phi_hg"], "phi_hg_prev": h["phi_hg"]}
         _ = float(jnp.sum(s[0].u))
         return time.perf_counter() - t0
 

@@ -319,6 +319,23 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     gp_l = [st.gp for st in states]
     p_l = [st.p for st in states]
 
+    def _warm(cur_key, prev_key):
+        """Per-node linear warm-start extrapolation (see advance._warm)."""
+        if hints is None:
+            return None
+        cur = hints.get(cur_key)
+        prev = hints.get(prev_key)
+        if cur is None:
+            return None
+        if prev is None:
+            return cur
+        out = []
+        for c, pv in zip(cur, prev):
+            delta = c - pv
+            ok = jnp.max(jnp.abs(delta)) < 0.5 * jnp.max(jnp.abs(c))
+            out.append(jnp.where(ok, c + delta, c))
+        return out
+
     u_pads = [pad_ml_multi(geom, u_l, vel_comps, l, ng) for l in range(nlev)]
     s_pads = [pad_ml_multi(geom, s_l, scal_comps, l, ng) for l in range(nlev)]
 
@@ -380,8 +397,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
 
     # ---- composite MAC projection
     umac_l, div_b, div_a, phi_mac_l = macproject_ml(
-        geom, umac_l, s_l,
-        phi0_l=None if hints is None else hints.get("phi_mac"))
+        geom, umac_l, s_l, phi0_l=_warm("phi_mac", "phi_mac_prev"))
 
     mac_pads_l = [grow_mac_ml(geom, umac_l, l, ng) for l in range(nlev)]
 
@@ -541,7 +557,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     # ---- composite nodal projection
     unew_l, p_l, gp_l, phi_hg_l = hgproject_ml(
         geom, proj_type, unew_l, u_l, rhohalf_l, p_l, gp_l, dt,
-        phi0_l=None if hints is None else hints.get("phi_hg"))
+        phi0_l=_warm("phi_hg", "phi_hg_prev"))
 
     new_states = [State(u=unew_l[l], s=snew_l[l], gp=gp_l[l], p=p_l[l])
                   for l in range(nlev)]

@@ -2,9 +2,9 @@
 
 TPU-native replacement for the reference's tag_boxes -> make_new_grids ->
 enforce_proper_nesting pipeline (initialize.f90:152-342, regrid.f90:20-272):
-tagged cells are clustered into ONE bounding box per level, grown by the
-buffer width and quantized to TPU-friendly multiples so recompilation only
-happens when the box genuinely changes shape.
+tagged cells cluster into Berger-Rigoutsos boxes, buffer/quantize to
+TPU-friendly multiples (recompiles only when a box genuinely changes
+shape), merge into ISOLATED patches, and nest into the patch tree.
 """
 from __future__ import annotations
 
@@ -33,10 +33,9 @@ def cluster_tagged(tags: np.ndarray, min_eff: float = 0.7,
     initialize.f90:237-299): recursively split the tag bounding box at
     signature holes, else at the strongest Laplacian inflection of the
     signature, until each box's tagged-cell fraction reaches ``min_eff``;
-    box edges are quantized to ``blocking``. Currently used for grid
-    diagnostics and fixed-grids fidelity (levels remain single dense
-    rectangles; the multi-patch level representation is the planned
-    consumer)."""
+    box edges are quantized to ``blocking``. Feeds the patch-tree level
+    representation: boxes buffer/quantize in _child_boxes, then merge into
+    isolated patches (compute_tree / initialize_adaptive)."""
     dm = tags.ndim
 
     def bbox(t):

@@ -211,9 +211,10 @@ def _avg_plane(f, d, dm):
 
 def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
                        phi0_l=None, bvals=None, rel_eps=1e-10,
-                       max_outer=DEFAULT_OUTER):
+                       max_outer=DEFAULT_OUTER, return_info=False):
     """Solve the composite problem (alpha*aco - div beta grad) phi = rhs over
-    all levels. Returns (phi_l, resnorm)."""
+    all levels. Returns (phi_l, resnorm) — or (phi_l, (resnorm, iters))
+    with return_info."""
     sim = geom.sim
     dm, nlev = geom.dm, geom.nlev
     ell0 = [tuple(sim.ell_bc[comp][d]) for d in range(dm)]
@@ -222,11 +223,11 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
     if phi0_l is None:
         phi0_l = [jnp.zeros(geom.specs[l].n, sim.dtype) for l in range(nlev)]
     if nlev == 1:
-        return_phi, rn = mg.solve(geom.specs[0].n, geom.dx(0), ell0, aco_l[0],
-                                  beta_l[0], rhs_l[0], alpha=alpha,
-                                  bvals=bvals, phi0=phi0_l[0],
-                                  rel_eps=rel_eps)
-        return [return_phi], rn
+        return_phi, info = mg.solve(geom.specs[0].n, geom.dx(0), ell0,
+                                    aco_l[0], beta_l[0], rhs_l[0],
+                                    alpha=alpha, bvals=bvals, phi0=phi0_l[0],
+                                    rel_eps=rel_eps, return_info=return_info)
+        return [return_phi], info
 
     ell_bcs = [ell0] + [geom.ell_bc_level(l, comp) for l in range(1, nlev)]
     hiers = [mg.build_hierarchy(list(geom.specs[l].n), list(geom.dx(l)),
@@ -318,24 +319,31 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         return d
 
     def body(carry):
-        phis, k, _ = carry
+        # ONE composite residual evaluation per outer cycle: the residual
+        # computed for monitoring doubles as the next correction's source
+        # (the earlier two-evaluation form dominated the latency-bound
+        # small-level composite solves)
+        phis, res, k, _ = carry
         phis = list(phis)
-        d = comp_correction(residuals(phis))
+        d = comp_correction(list(res))
         phis = [p + di for p, di in zip(phis, d)]
         phis = slave(phis)
         if singular:
             m = jnp.mean(phis[0])
             phis = [p - m for p in phis]
         res = residuals(phis)
-        return tuple(phis), k + 1, resnorm(res)
+        return tuple(phis), tuple(res), k + 1, resnorm(res)
 
     def cond(carry):
-        _, k, rn = carry
+        _, _, k, rn = carry
         return jnp.logical_and(k < max_outer, rn > tol)
 
     phis0 = slave(list(phi0_l))
-    init = (tuple(phis0), jnp.array(0), resnorm(residuals(phis0)))
-    phis, _, rn = jax.lax.while_loop(cond, body, init)
+    res0 = residuals(phis0)
+    init = (tuple(phis0), tuple(res0), jnp.array(0), resnorm(res0))
+    phis, _, iters, rn = jax.lax.while_loop(cond, body, init)
+    if return_info:
+        return list(phis), (rn, iters)
     return list(phis), rn
 
 
@@ -598,26 +606,30 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
         return phis
 
     def body(carry):
-        phis, k, _ = carry
-        phis = set_interfaces(list(phis))
-        d = comp_correction(comp_residuals(phis))
+        # one composite residual evaluation per outer (monitor doubles as
+        # the next correction's source; see composite_cc_solve)
+        phis, res, k, _ = carry
+        phis = list(phis)
+        d = comp_correction(list(res))
         phis = [p + di for p, di in zip(phis, d)]
         phis = set_interfaces(phis)
         phis = slave(phis)
         if singular:
             m = jnp.mean(phis[0])
             phis = [p - m for p in phis]
-        rn = resnorm(comp_residuals(phis))
-        return tuple(phis), k + 1, rn
+        res = comp_residuals(phis)
+        return tuple(phis), tuple(res), k + 1, resnorm(res)
 
     bnorm = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
 
     def cond(carry):
-        _, k, rn = carry
+        _, _, k, rn = carry
         return jnp.logical_and(k < max_outer, rn > rel_eps * bnorm)
 
-    init = (tuple(phis), jnp.array(0), jnp.asarray(jnp.inf, sim.dtype))
-    phis, _, rn = jax.lax.while_loop(cond, body, init)
+    phis = set_interfaces(list(phis))
+    res0 = comp_residuals(phis)
+    init = (tuple(phis), tuple(res0), jnp.array(0), resnorm(res0))
+    phis, _, iters, rn = jax.lax.while_loop(cond, body, init)
     return list(set_interfaces(list(phis))), rn
 
 

@@ -82,11 +82,13 @@ class Varden:
         sim, geom = self.sim, self.geom
         pm = [[geom.side_kind(l, d, 0) == "per" for d in range(sim.dm)]
               for l in range(geom.nlev)]
-        hints = {
-            "phi_mac": [jnp.zeros(s.n, sim.dtype) for s in geom.specs],
-            "phi_hg": [jnp.zeros(nodal.node_shape(geom.specs[l].n, pm[l]),
-                                 sim.dtype) for l in range(geom.nlev)],
-        }
+        z_mac = [jnp.zeros(s.n, sim.dtype) for s in geom.specs]
+        z_hg = [jnp.zeros(nodal.node_shape(geom.specs[l].n, pm[l]),
+                          sim.dtype) for l in range(geom.nlev)]
+        # prevs included so the hints pytree structure is step-invariant
+        # (a step-2 structure change would retrace the whole ML step)
+        hints = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
+                 "phi_hg": z_hg, "phi_hg_prev": z_hg}
         if self.mesh is not None:
             from .parallel import mesh as pmesh
             hints = pmesh.shard_ml_hints(geom, hints, self.mesh)
@@ -140,7 +142,9 @@ class Varden:
             st2, diag = self._ml_step_fn(projection.PRESSURE_ITERS)(
                 states, self.dt, self._ml_hints)
             self._ml_hints = {"phi_mac": diag["phi_mac"],
-                              "phi_hg": diag["phi_hg"]}
+                              "phi_mac_prev": self._ml_hints["phi_mac"],
+                              "phi_hg": diag["phi_hg"],
+                              "phi_hg_prev": self._ml_hints["phi_hg"]}
             states = [State(u=states[l].u, s=states[l].s,
                             gp=st2[l].gp, p=st2[l].p)
                       for l in range(len(states))]
@@ -179,7 +183,9 @@ class Varden:
         states, diag = self._ml_step_fn(projection.REGULAR_TIMESTEP)(
             states, self.dt, self._ml_hints)
         self._ml_hints = {"phi_mac": diag["phi_mac"],
-                          "phi_hg": diag["phi_hg"]}
+                          "phi_mac_prev": self._ml_hints["phi_mac"],
+                          "phi_hg": diag["phi_hg"],
+                          "phi_hg_prev": self._ml_hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
         print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "

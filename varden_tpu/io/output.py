@@ -222,8 +222,8 @@ def write_checkpoint_ml(geom, states, istep: int, time: float, dt: float,
     if hints is not None:
         payload = {}
         for l in range(geom.nlev):
-            payload[f"phi_mac_{l}"] = np.asarray(hints["phi_mac"][l])
-            payload[f"phi_hg_{l}"] = np.asarray(hints["phi_hg"][l])
+            for k in hints:
+                payload[f"{k}_{l}"] = np.asarray(hints[k][l])
         np.savez(os.path.join(name, "hints.npz"), **payload)
     _write_chk_header(name, time, dt, geom.ndepth)
     write_job_info(name, sim)
@@ -281,6 +281,16 @@ def read_checkpoint_ml(sim: Sim, name: str):
                              for l in range(geom.nlev)],
                  "phi_hg": [jnp.asarray(data[f"phi_hg_{l}"], dtype)
                             for l in range(geom.nlev)]}
+        # prevs (persisted for bitwise-identical warm-start extrapolation
+        # after restart; older checkpoints fall back to prev = cur, which
+        # disables the extrapolation for one step)
+        for k in ("phi_mac", "phi_hg"):
+            kp = f"{k}_prev"
+            if f"{kp}_0" in data.files:
+                hints[kp] = [jnp.asarray(data[f"{kp}_{l}"], dtype)
+                             for l in range(geom.nlev)]
+            else:
+                hints[kp] = list(hints[k])
     return geom, states, header, hints
 
 

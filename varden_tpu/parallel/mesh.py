@@ -132,13 +132,15 @@ def shard_ml_states(geom, states, mesh: Mesh):
 
 def shard_ml_hints(geom, hints: dict, mesh: Mesh) -> dict:
     sim = geom.sim
-    out = {"phi_mac": [], "phi_hg": []}
-    for v in hints["phi_mac"]:
-        sh = NamedSharding(mesh, _even_cell_spec(sim, mesh, v.shape, 0))
-        out["phi_mac"].append(jax.device_put(v, sh))
-    for v in hints["phi_hg"]:
-        sh = NamedSharding(mesh, _node_spec(sim, mesh, v.shape))
-        out["phi_hg"].append(jax.device_put(v, sh))
+    out = {}
+    for k, vs in hints.items():
+        nodal = k.startswith("phi_hg")
+        row = []
+        for v in vs:
+            spec = _node_spec(sim, mesh, v.shape) if nodal \
+                else _even_cell_spec(sim, mesh, v.shape, 0)
+            row.append(jax.device_put(v, NamedSharding(mesh, spec)))
+        out[k] = row
     return out
 
 

@@ -26,6 +26,12 @@ CASES = {
                           max_levs=2, regrid_int=2, max_step=3, init_iter=1,
                           grav=-9.8, visc_coef=1e-3, bcx_lo=15, bcx_hi=15,
                           bcy_lo=15, bcy_hi=15, cflfac=0.9, init_shrink=0.1),
+    # a DEEP hierarchy pinned end-to-end (solver-convergence tests alone
+    # would miss slow drift that only manifests at depth)
+    "bubble-2d-ml4": dict(dim_in=2, prob_type=1, n_cellx=32, n_celly=32,
+                          max_levs=4, regrid_int=2, max_step=4, init_iter=1,
+                          grav=-9.8, visc_coef=1e-3, bcx_lo=15, bcx_hi=15,
+                          bcy_lo=15, bcy_hi=15, cflfac=0.9, init_shrink=0.1),
     "bubble-3d": dict(dim_in=3, prob_type=1, n_cellx=16, n_celly=16,
                       n_cellz=16, max_levs=1, max_step=2, init_iter=1,
                       grav=-9.8, visc_coef=1e-3, bcx_lo=15, bcx_hi=15,

@@ -45,7 +45,7 @@ BC_INT = -999
 NO_BC = frozenset()
 BC_Z = frozenset({(2, 0), (2, 1)})
 SLAB = 4        # boundary slab width (cells) >= override taint depth (~2)
-TY = 8          # y tile (output block sublane constraint)
+TY = int(os.environ.get("VARDEN_GODUNOV_TY", "8"))  # y tile (sublane multiple)
 
 
 class _Plan:
@@ -81,8 +81,8 @@ class _Plan:
             return
         self.xl = SLAB
         self.xh = SLAB + (n0 - 2 * SLAB) % self.tx
-        self.yl = 8
-        yh0 = 12   # >= 10 so the padded 16-row read stays in bounds
+        self.yl = TY   # must be a TY multiple (index-map divisibility)
+        yh0 = 12   # >= 10 so the padded y-halo read stays in bounds
         self.yh = yh0 + (n1 - self.yl - yh0) % TY
         # z is untiled: full axis per tile, BCs handled IN-kernel (static
         # coordinates) — no z slabs (a thin z slab would pad its 8-cell
@@ -180,9 +180,13 @@ def _stitch(km, slabs, plan, face_axis, sp0):
     out = km
 
     ylo, yhi = slabs[(1, 0)], slabs[(1, 1)]
-    ylo = _take(ylo, ax[0], xs)
-    yhi = _take(yhi, ax[0], xs)
-    if face_axis == 1:
+    # windowed y slabs span full x (crop to the interior); kernelized ones
+    # arrive already x-interior and exact-row sized
+    if ylo.shape[ax[0]] != p.nxi:
+        ylo = _take(ylo, ax[0], xs)
+    if yhi.shape[ax[0]] != p.nxi:
+        yhi = _take(yhi, ax[0], xs)
+    if face_axis == 1 and ylo.shape[ax[1]] != p.yl:
         ylo = _take(ylo, ax[1], slice(0, p.yl))
     out = jnp.concatenate([ylo, out, yhi], axis=ax[1])
 
@@ -229,27 +233,51 @@ def _out_shape(plan, dtype, lead=None, zfaces=False):
 # velpred
 # ---------------------------------------------------------------------------
 
+def _y_slab_adv_bc(adv_bc, side, ncomp):
+    """adv_bc for a KERNELIZED y slab: x interior (x-slabs own those
+    boundaries), the outer y side real, the artificial y cut interior,
+    z real (in-kernel)."""
+    out = []
+    for c in range(ncomp):
+        yl_, yh_ = adv_bc[c][1]
+        ypair = (yl_, BC_INT) if side == 0 else (BC_INT, yh_)
+        out.append(((BC_INT, BC_INT), ypair, tuple(adv_bc[c][2])))
+    return tuple(out)
+
+
+def _yslab_take(arr, side, ty, ng, sp0):
+    """Trace-level thin slice holding a y slab's rows + halo (offset-0
+    blocks sidestep Mosaic's sublane-offset divisibility rules)."""
+    n1p = arr.shape[sp0 + 1]
+    sl = [slice(None)] * arr.ndim
+    sl[sp0 + 1] = (slice(0, ty + 2 * ng) if side == 0
+                   else slice(n1p - (ty + 2 * ng), n1p))
+    return arr[tuple(sl)]
+
+
 def _velpred_kernel(u_ref, f_ref, scal_ref, umac_ref, vmac_ref, wmac_ref, *,
-                    dx, ng, tx, tz, phys_bc, adv_bc, slope_order,
-                    use_minion):
-    cut = (slice(None), slice(None), slice(0, TY + 2 * ng), slice(None))
+                    dx, ng, tx, ty, tz, phys_bc, adv_bc, slope_order,
+                    use_minion, bc_sides, yface):
+    cut = (slice(None), slice(None), slice(0, ty + 2 * ng), slice(None))
     u = u_ref[cut]
     f = f_ref[cut]
     dt = scal_ref[0]
     eps = scal_ref[1]
-    n_cell = (tx, TY, tz)
+    n_cell = (tx, ty, tz)
     macs = godunov3d.velpred_3d(
-        u, f, dt, dx, phys_bc, _interior_adv_bc(adv_bc, 3), ng, n_cell,
-        slope_order, use_minion, bc_sides=BC_Z, eps=eps)
+        u, f, dt, dx, phys_bc, adv_bc, ng, n_cell,
+        slope_order, use_minion, bc_sides=bc_sides, eps=eps)
     umac_ref[...] = macs[0][:tx]
-    vmac_ref[...] = macs[1][:, :TY]
+    vmac_ref[...] = macs[1][:, :ty + yface]
     wmac_ref[...] = macs[2]
 
 
 def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
                      slope_order, use_minion, *, interpret=False):
     """Tiled-interior + slab-boundary velpred. Returns interior MAC faces
-    exactly as godunov3d.velpred_3d."""
+    exactly as godunov3d.velpred_3d. The y slabs run through the SAME
+    fused kernel (thin sliced inputs, real y codes in-kernel); only the x
+    slabs (which own the domain corners) use the windowed path."""
     p = _Plan(n_cell, ng)
     if not p.ok:
         return godunov3d.velpred_3d(u, force, dt, dx, phys_bc, adv_bc_vel,
@@ -259,37 +287,78 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
     umax = jnp.max(jnp.abs(u[:, ng:ng + n0, ng:ng + n1, ng:ng + n2]))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
     scal = jnp.stack([jnp.asarray(dt, u.dtype), eps.astype(u.dtype)])
+    pbc = tuple(tuple(b) for b in phys_bc)
+    adv_t = tuple(tuple(tuple(a) for a in row) for row in adv_bc_vel)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    kern = functools.partial(
-        _velpred_kernel, dx=tuple(dx), ng=ng, tx=p.tx, tz=p.tz,
-        phys_bc=tuple(tuple(b) for b in phys_bc),
-        adv_bc=tuple(tuple(tuple(a) for a in row) for row in adv_bc_vel),
-        slope_order=slope_order, use_minion=use_minion)
-    km = pl.pallas_call(
-        kern,
-        grid=(p.nxt, p.nyt),
-        out_shape=[_out_shape(p, u.dtype), _out_shape(p, u.dtype),
-                   _out_shape(p, u.dtype, zfaces=True)],
-        in_specs=[_in_spec(p, 3), _in_spec(p, 3),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[_out_spec(p), _out_spec(p), _out_spec(p, zfaces=True)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(u, force, scal)
+    def call(u_in, f_in, ty, adv_k, bc_sides, yface, grid2):
+        kern = functools.partial(
+            _velpred_kernel, dx=tuple(dx), ng=ng, tx=p.tx, ty=ty, tz=p.tz,
+            phys_bc=pbc, adv_bc=adv_k, slope_order=slope_order,
+            use_minion=use_minion, bc_sides=bc_sides, yface=yface)
+        if grid2:            # interior: tile x AND y
+            grid = (p.nxt, p.nyt)
+            in_specs = [_in_spec(p, 3), _in_spec(p, 3),
+                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+            out_specs = [_out_spec(p), _out_spec(p),
+                         _out_spec(p, zfaces=True)]
+            out_shape = [_out_shape(p, u.dtype), _out_shape(p, u.dtype),
+                         _out_shape(p, u.dtype, zfaces=True)]
+        else:                # y slab: x tiles only, full (sliced) y extent
+            grid = (p.nxt,)
+            ybs = ty + 2 * ng
 
-    def slab(axis, side, width):
-        i0 = 0 if side == 0 else n_cell[axis] - width
-        us = _crop_pad(u, axis, i0, i0 + width, ng)
-        fs = _crop_pad(force, axis, i0, i0 + width, ng)
-        ncs = tuple(width if a == axis else n_cell[a] for a in range(3))
+            def espec(lead=None):
+                dims = ([] if lead is None else [pl.Element(lead)]) + [
+                    pl.Element(p.xb), pl.Element(ybs), pl.Element(p.zb)]
+                if lead is None:
+                    idx = lambda i: (p.xl + i * p.tx, 0, 0)
+                else:
+                    idx = lambda i: (0, p.xl + i * p.tx, 0, 0)
+                return pl.BlockSpec(tuple(dims), idx,
+                                    memory_space=pltpu.VMEM)
+
+            in_specs = [espec(3), espec(3),
+                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+            def ospec(yr, zf=0):
+                return pl.BlockSpec((p.tx, yr, p.tz + zf),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            out_specs = [ospec(ty), ospec(ty + yface), ospec(ty, 1)]
+            out_shape = [
+                jax.ShapeDtypeStruct((p.nxi, ty, p.tz), u.dtype),
+                jax.ShapeDtypeStruct((p.nxi, ty + yface, p.tz), u.dtype),
+                jax.ShapeDtypeStruct((p.nxi, ty, p.tz + 1), u.dtype)]
+        return pl.pallas_call(
+            kern, grid=grid, out_shape=out_shape, in_specs=in_specs,
+            out_specs=out_specs, compiler_params=cp, interpret=interpret,
+        )(u_in, f_in, scal)
+
+    km = call(u, force, TY, _interior_adv_bc(adv_t, 3),
+              BC_Z, 0, True)
+    slabs = {}
+    for side, ty in ((0, p.yl), (1, p.yh)):
+        u_s = _yslab_take(u, side, ty, ng, 1)
+        f_s = _yslab_take(force, side, ty, ng, 1)
+        bcs = frozenset({(1, side)} | BC_Z)
+        slabs[(1, side)] = call(u_s, f_s, ty,
+                                _y_slab_adv_bc(adv_t, side, 3), bcs,
+                                1 if side == 1 else 0, False)
+
+    def xslab(side, width):
+        i0 = 0 if side == 0 else n_cell[0] - width
+        us = _crop_pad(u, 0, i0, i0 + width, ng)
+        fs = _crop_pad(force, 0, i0, i0 + width, ng)
+        ncs = (width, n_cell[1], n_cell[2])
         return godunov3d.velpred_3d(
             us, fs, dt, dx, phys_bc,
-            _slab_adv_bc(adv_bc_vel, axis, side, 3), ng, ncs, slope_order,
-            use_minion, bc_sides=_slab_bc_sides(axis, side), eps=eps)
+            _slab_adv_bc(adv_bc_vel, 0, side, 3), ng, ncs, slope_order,
+            use_minion, bc_sides=_slab_bc_sides(0, side), eps=eps)
 
-    widths = {(0, 0): p.xl, (0, 1): p.xh, (1, 0): p.yl, (1, 1): p.yh}
-    slabs = {k: slab(k[0], k[1], w) for k, w in widths.items()}
+    slabs[(0, 0)] = xslab(0, p.xl)
+    slabs[(0, 1)] = xslab(1, p.xh)
     return tuple(
         _stitch(km[d], {k: s[d] for k, s in slabs.items()}, p, d, 0)
         for d in range(3))
@@ -301,9 +370,9 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
 
 def _mkflux_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref, scal_ref,
                    ex_ref, ey_ref, ez_ref, fx_ref, fy_ref, fz_ref, *,
-                   dx, ng, tx, tz, phys_bc, adv_bc, is_vel, is_cons,
-                   slope_order, use_minion):
-    cut = (slice(None), slice(None), slice(0, TY + 2 * ng), slice(None))
+                   dx, ng, tx, ty, tz, phys_bc, adv_bc, is_vel, is_cons,
+                   slope_order, use_minion, bc_sides, yface):
+    cut = (slice(None), slice(None), slice(0, ty + 2 * ng), slice(None))
     s = s_ref[cut]
     f = f_ref[cut]
     cut3 = cut[1:]
@@ -311,17 +380,16 @@ def _mkflux_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref, scal_ref,
     rhs = rhs_ref[cut3]
     dt = scal_ref[0]
     eps = scal_ref[1]
-    n_cell = (tx, TY, tz)
-    nc = s.shape[0]
+    n_cell = (tx, ty, tz)
     sedge, sflux = godunov3d.mkflux_3d(
-        s, macs, f, rhs, dt, dx, phys_bc, _interior_adv_bc(adv_bc, nc), ng,
-        n_cell, is_vel, is_cons, slope_order, use_minion, bc_sides=BC_Z,
+        s, macs, f, rhs, dt, dx, phys_bc, adv_bc, ng,
+        n_cell, is_vel, is_cons, slope_order, use_minion, bc_sides=bc_sides,
         eps=eps)
     ex_ref[...] = sedge[0][:, :tx]
-    ey_ref[...] = sedge[1][:, :, :TY]
+    ey_ref[...] = sedge[1][:, :, :ty + yface]
     ez_ref[...] = sedge[2]
     fx_ref[...] = sflux[0][:, :tx]
-    fy_ref[...] = sflux[1][:, :, :TY]
+    fy_ref[...] = sflux[1][:, :, :ty + yface]
     fz_ref[...] = sflux[2]
 
 
@@ -329,7 +397,8 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
                     ng, n_cell, is_vel, is_conservative, slope_order,
                     use_minion, *, interpret=False):
     """Tiled-interior + slab-boundary mkflux. Returns (sedge, sflux) exactly
-    as godunov3d.mkflux_3d."""
+    as godunov3d.mkflux_3d. The y slabs run through the SAME fused kernel;
+    the x slabs (domain corners) use the windowed path."""
     nc = s.shape[0]
     p = _Plan(n_cell, ng, heavy=True)
     if not p.ok:
@@ -342,40 +411,93 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     umax = jnp.max(jnp.stack([jnp.max(jnp.abs(m.arr)) for m in macw]))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
     scal = jnp.stack([jnp.asarray(dt, s.dtype), eps.astype(s.dtype)])
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    pbc = tuple(tuple(b) for b in phys_bc)
 
     # One kernel call PER COMPONENT: mkflux components are independent
     # (coupled only through the shared MAC field inputs), and the smaller
     # per-call stack admits a larger x tile — less halo recompute than one
     # multi-component call at a small tile.
-    outs_c = []
-    for c in range(nc):
+    def call(ins, c, ty, adv_k, bc_sides, yface, grid2):
         kern = functools.partial(
-            _mkflux_kernel, dx=tuple(dx), ng=ng, tx=p.tx, tz=p.tz,
-            phys_bc=tuple(tuple(b) for b in phys_bc),
-            adv_bc=(tuple(tuple(tuple(a) for a in adv_bc[c])),),
+            _mkflux_kernel, dx=tuple(dx), ng=ng, tx=p.tx, ty=ty, tz=p.tz,
+            phys_bc=pbc, adv_bc=adv_k,
             is_vel=is_vel, is_cons=(is_conservative[c],),
-            slope_order=slope_order, use_minion=use_minion)
-        outs_c.append(pl.pallas_call(
-            kern,
-            grid=(p.nxt, p.nyt),
-            out_shape=[_out_shape(p, s.dtype, 1), _out_shape(p, s.dtype, 1),
-                       _out_shape(p, s.dtype, 1, zfaces=True),
-                       _out_shape(p, s.dtype, 1), _out_shape(p, s.dtype, 1),
-                       _out_shape(p, s.dtype, 1, zfaces=True)],
-            in_specs=[_in_spec(p, 1), _in_spec(p), _in_spec(p), _in_spec(p),
-                      _in_spec(p, 1), _in_spec(p),
-                      pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=[_out_spec(p, 1), _out_spec(p, 1),
-                       _out_spec(p, 1, zfaces=True),
-                       _out_spec(p, 1), _out_spec(p, 1),
-                       _out_spec(p, 1, zfaces=True)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(s[c:c + 1], mac_pads[0], mac_pads[1], mac_pads[2],
-          force[c:c + 1], mac_rhs, scal))
+            slope_order=slope_order, use_minion=use_minion,
+            bc_sides=bc_sides, yface=yface)
+        if grid2:
+            grid = (p.nxt, p.nyt)
+            in_specs = [_in_spec(p, 1), _in_spec(p), _in_spec(p),
+                        _in_spec(p), _in_spec(p, 1), _in_spec(p),
+                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+            out_specs = [_out_spec(p, 1), _out_spec(p, 1),
+                         _out_spec(p, 1, zfaces=True),
+                         _out_spec(p, 1), _out_spec(p, 1),
+                         _out_spec(p, 1, zfaces=True)]
+            out_shape = [_out_shape(p, s.dtype, 1),
+                         _out_shape(p, s.dtype, 1),
+                         _out_shape(p, s.dtype, 1, zfaces=True),
+                         _out_shape(p, s.dtype, 1),
+                         _out_shape(p, s.dtype, 1),
+                         _out_shape(p, s.dtype, 1, zfaces=True)]
+        else:
+            grid = (p.nxt,)
+            ybs = ty + 2 * ng
+
+            def espec(lead=None):
+                dims = ([] if lead is None else [pl.Element(lead)]) + [
+                    pl.Element(p.xb), pl.Element(ybs), pl.Element(p.zb)]
+                if lead is None:
+                    idx = lambda i: (p.xl + i * p.tx, 0, 0)
+                else:
+                    idx = lambda i: (0, p.xl + i * p.tx, 0, 0)
+                return pl.BlockSpec(tuple(dims), idx,
+                                    memory_space=pltpu.VMEM)
+
+            in_specs = [espec(1), espec(), espec(), espec(), espec(1),
+                        espec(), pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+            def ospec(yr, zf=0):
+                return pl.BlockSpec((1, p.tx, yr, p.tz + zf),
+                                    lambda i: (0, i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            def oshape(yr, zf=0):
+                return jax.ShapeDtypeStruct((1, p.nxi, yr, p.tz + zf),
+                                            s.dtype)
+
+            out_specs = [ospec(ty), ospec(ty + yface), ospec(ty, 1),
+                         ospec(ty), ospec(ty + yface), ospec(ty, 1)]
+            out_shape = [oshape(ty), oshape(ty + yface), oshape(ty, 1),
+                         oshape(ty), oshape(ty + yface), oshape(ty, 1)]
+        return pl.pallas_call(
+            kern, grid=grid, out_shape=out_shape, in_specs=in_specs,
+            out_specs=out_specs, compiler_params=cp, interpret=interpret,
+        )(*ins)
+
+    outs_c, slab_c = [], []
+    for c in range(nc):
+        adv_c = (tuple(tuple(tuple(a) for a in adv_bc[c])),)
+        ins = (s[c:c + 1], mac_pads[0], mac_pads[1], mac_pads[2],
+               force[c:c + 1], mac_rhs, scal)
+        outs_c.append(call(ins, c, TY, _interior_adv_bc(adv_c, 1), BC_Z, 0,
+                           True))
+        per_side = {}
+        for side, ty in ((0, p.yl), (1, p.yh)):
+            ins_s = tuple(_yslab_take(a, side, ty, ng, a.ndim - 3)
+                          if a.ndim >= 3 else a for a in ins)
+            bcs = frozenset({(1, side)} | BC_Z)
+            per_side[side] = call(ins_s, c, ty, _y_slab_adv_bc(adv_c, side, 1),
+                                  bcs, 1 if side == 1 else 0, False)
+        slab_c.append(per_side)
     km_e = [jnp.concatenate([o[i] for o in outs_c]) for i in range(3)]
     km_f = [jnp.concatenate([o[i] for o in outs_c]) for i in range(3, 6)]
+    yslab_e = {(1, side): [jnp.concatenate([slab_c[c][side][i]
+                                            for c in range(nc)])
+                           for i in range(3)] for side in (0, 1)}
+    yslab_f = {(1, side): [jnp.concatenate([slab_c[c][side][i]
+                                            for c in range(nc)])
+                           for i in range(3, 6)] for side in (0, 1)}
 
     def slab(axis, side, width):
         i0 = 0 if side == 0 else n_cell[axis] - width
@@ -390,12 +512,17 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
             is_conservative, slope_order, use_minion,
             bc_sides=_slab_bc_sides(axis, side), eps=eps)
 
-    widths = {(0, 0): p.xl, (0, 1): p.xh, (1, 0): p.yl, (1, 1): p.yh}
-    slabs = {k: slab(k[0], k[1], w) for k, w in widths.items()}
+    xslabs = {(0, 0): slab(0, 0, p.xl), (0, 1): slab(0, 1, p.xh)}
     sedge = tuple(
-        _stitch(km_e[d], {k: s_[0][d] for k, s_ in slabs.items()}, p, d, 1)
+        _stitch(km_e[d],
+                {**{k: s_[0][d] for k, s_ in xslabs.items()},
+                 (1, 0): yslab_e[(1, 0)][d], (1, 1): yslab_e[(1, 1)][d]},
+                p, d, 1)
         for d in range(3))
     sflux = tuple(
-        _stitch(km_f[d], {k: s_[1][d] for k, s_ in slabs.items()}, p, d, 1)
+        _stitch(km_f[d],
+                {**{k: s_[1][d] for k, s_ in xslabs.items()},
+                 (1, 0): yslab_f[(1, 0)][d], (1, 1): yslab_f[(1, 1)][d]},
+                p, d, 1)
         for d in range(3))
     return sedge, sflux

@@ -215,6 +215,20 @@ def laplacian(f, n, dx, ell_bc, bvals=None):
     """lap(f) with BC-corrected boundary stencils: cc_applyop with alpha=0,
     beta=-1 (reference explicit_diffusive_term.f90:55-60)."""
     dm = len(n)
+    if bvals is None:
+        bvals = [[0.0, 0.0]] * dm
+    from ..ops import pallas_kernels as pk
+    if _static_bvals(bvals) and \
+            pk.gsrb_const_supported(tuple(n), ell_bc, f.dtype):
+        # fused in-kernel-BC pass: residual of (-lap) with rhs=0 IS lap(f)
+        coef = jnp.stack([jnp.asarray(1.0 / dx[d] ** 2, f.dtype)
+                          for d in range(dm)]
+                         + [jnp.asarray(0.0, f.dtype)])
+        fb = f if f.ndim > dm else f[None]
+        r = pk.gsrb_const_sweep_3d(fb, jnp.zeros_like(fb),
+                                   jnp.zeros(tuple(n), f.dtype), coef,
+                                   ell_bc, bvals, emit="residual")
+        return r if f.ndim > dm else r[0]
     aco = jnp.zeros(tuple(n), f.dtype)
     level = make_level(n, dx, ell_bc, aco, (1.0,) * dm, 0.0)
     return -cc_apply(level, f, bvals)
@@ -563,7 +577,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     eps_mach = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
     def tol_eff(p):
-        floor = 2.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))
+        floor = 4.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))  # measured f32 floor: ~4 eps diag |phi| (2.0 under-estimated; V-cycles ground against it)
         return jnp.maximum(tol, floor)
 
     rn0 = resnorm0(phi)

@@ -250,3 +250,31 @@ def test_nodal_pallas_jacobi_matches_unfused():
                             rhs, inv, level.dx, omega=omega, emit="jacobi",
                             interpret=True)
     assert np.max(np.abs(np.array(out - ref))) < 1e-11
+
+
+def test_update_kernel_matches_unfused():
+    """Fused update kernel (interpret) == basic.update's jnp path for
+    conservative, convective and mixed component sets."""
+    from varden_tpu.ops import basic
+    rng = np.random.RandomState(12)
+    n = (16, 16, 128)
+    dm = 3
+    for is_cons in ([True, False], [False, False, False], [True, True]):
+        nc = len(is_cons)
+        sold = jnp.asarray(rng.rand(nc, *n))
+        force = jnp.asarray(rng.rand(nc, *n) - 0.5)
+        umac = tuple(jnp.asarray(rng.rand(*[n[t] + (1 if t == d else 0)
+                                            for t in range(dm)]) - 0.5)
+                     for d in range(dm))
+        sedge = tuple(jnp.asarray(rng.rand(nc, *[n[t] + (1 if t == d else 0)
+                                                 for t in range(dm)]))
+                      for d in range(dm))
+        flux = tuple(jnp.asarray(rng.rand(nc, *[n[t] + (1 if t == d else 0)
+                                                for t in range(dm)]))
+                     for d in range(dm))
+        dt, dx = 2e-3, (0.1, 0.11, 0.12)
+        ref = basic.update(sold, umac, sedge, flux, force, dt, dx, is_cons)
+        got = pk.update_3d(sold, umac, sedge, flux, force, dt, dx, is_cons,
+                           interpret=True)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-12, (is_cons, err)

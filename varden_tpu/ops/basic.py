@@ -50,6 +50,15 @@ def update(sold: jnp.ndarray, umac: Sequence[jnp.ndarray],
     sedge[d]/flux[d]: (nc, faces); umac[d]: (faces)."""
     dm = len(umac)
     nc = sold.shape[0]
+    if dm == 3:
+        from . import pallas_kernels as pk
+        if pk.update_supported(sold.shape[1:], sold.dtype):
+            # fused single-pass kernel; alias operand groups a pure
+            # convective/conservative call never reads
+            sedge_in = flux if all(is_conservative) else sedge
+            flux_in = sedge if not any(is_conservative) else flux
+            return pk.update_3d(sold, umac, sedge_in, flux_in, force, dt,
+                                dx, is_conservative)
     out = []
     ubar = [_fmean(umac[d], d, dm) for d in range(dm)]
     for c in range(nc):

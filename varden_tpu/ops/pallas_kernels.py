@@ -653,6 +653,110 @@ def gsrb_var_sweep_3d(phi, rhs, inv_diag, beta, dx, ell_bc, bvals,
 
 
 # ---------------------------------------------------------------------------
+# Conservative/convective update (reference update_3d, src/update.f90:186-278)
+# ---------------------------------------------------------------------------
+#
+# snew = sold - dt*(u·grad s | div flux) + dt*force reads ~16 arrays (three
+# face-centered edge/flux fields per component plus the MAC field); the XLA
+# form pays for lane-misaligned (n+1)-face temporaries and partial fusion.
+# One pass over x-tiles with everything VMEM-resident.
+
+
+def _update_kernel_3d(scal_ref, sold_ref, f_ref, ux_ref, uy_ref, uz_ref,
+                      ex_ref, ey_ref, ez_ref, fx_ref, fy_ref, fz_ref,
+                      out_ref, *, dxi, is_cons, nc):
+    dt = scal_ref[0]
+    outs = []
+    ux = ux_ref[...]
+    uy = uy_ref[...]
+    uz = uz_ref[...]
+    for c in range(nc):
+        if is_cons[c]:
+            adv = (dxi[0] * (fx_ref[c, 1:] - fx_ref[c, :-1])
+                   + dxi[1] * (fy_ref[c, :, 1:] - fy_ref[c, :, :-1])
+                   + dxi[2] * (fz_ref[c, :, :, 1:] - fz_ref[c, :, :, :-1]))
+        else:
+            adv = (dxi[0] * 0.5 * (ux[1:] + ux[:-1])
+                   * (ex_ref[c, 1:] - ex_ref[c, :-1])
+                   + dxi[1] * 0.5 * (uy[:, 1:] + uy[:, :-1])
+                   * (ey_ref[c, :, 1:] - ey_ref[c, :, :-1])
+                   + dxi[2] * 0.5 * (uz[:, :, 1:] + uz[:, :, :-1])
+                   * (ez_ref[c, :, :, 1:] - ez_ref[c, :, :, :-1]))
+        outs.append(sold_ref[c] - dt * adv + dt * f_ref[c])
+    out_ref[...] = jnp.stack(outs)
+
+
+def update_supported(n, dtype) -> bool:
+    if os.environ.get("VARDEN_NO_PALLAS_UPDATE") or not HAVE_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(n) != 3 or dtype not in (jnp.float32, jnp.dtype("float32")):
+        return False
+    return n[0] % 4 == 0 and min(n[1:]) >= 8
+
+
+def update_3d(sold, umac, sedge, flux, force, dt, dx, is_cons, *,
+              interpret=False):
+    """Fused snew update. sold/force: (nc, *n); sedge[d]/flux[d]:
+    (nc, faces); umac[d]: (faces)."""
+    nc = sold.shape[0]
+    n = sold.shape[1:]
+    tx = 4 if n[0] % 4 == 0 else 2
+    nblk = n[0] // tx
+    kern = functools.partial(
+        _update_kernel_3d, dxi=tuple(1.0 / float(h) for h in dx),
+        is_cons=tuple(bool(b) for b in is_cons), nc=nc)
+    scal = jnp.stack([jnp.asarray(dt, sold.dtype)])
+
+    def cell(lead):
+        return pl.BlockSpec((lead, tx, n[1], n[2]), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def xface(lead=None):
+        if lead is None:
+            return pl.BlockSpec(
+                tuple(pl.Element(b) for b in (tx + 1, n[1], n[2])),
+                lambda i: (i * tx, 0, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            tuple(pl.Element(b) for b in (lead, tx + 1, n[1], n[2])),
+            lambda i: (0, i * tx, 0, 0), memory_space=pltpu.VMEM)
+
+    def yface(lead=None):
+        shape = (tx, n[1] + 1, n[2])
+        if lead is None:
+            return pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((lead,) + shape, lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def zface(lead=None):
+        shape = (tx, n[1], n[2] + 1)
+        if lead is None:
+            return pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((lead,) + shape, lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((nc,) + tuple(n), sold.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  cell(nc), cell(nc),
+                  xface(), yface(), zface(),
+                  xface(nc), yface(nc), zface(nc),
+                  xface(nc), yface(nc), zface(nc)],
+        out_specs=cell(nc),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, sold, force, umac[0], umac[1], umac[2],
+      sedge[0], sedge[1], sedge[2], flux[0], flux[1], flux[2])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Nodal (FEM dense-stencil) kernels
 # ---------------------------------------------------------------------------
 

@@ -80,3 +80,46 @@ def test_mkflux_fused_matches_windowed(bc, is_vel):
         ef = float(jnp.max(jnp.abs(out_f[d] - ref_f[d])))
         assert ee < 1e-13, f"sedge bc={bc} dir {d}: {ee}"
         assert ef < 1e-13, f"sflux bc={bc} dir {d}: {ef}"
+
+
+@pytest.mark.parametrize("bc", [(15, 15), (-1, 14)])
+def test_2d_fused_matches_windowed(bc):
+    """Whole-grid 2-D kernels == windowed path (same staged math on the
+    full arrays, VMEM-resident)."""
+    from varden_tpu.ops import godunov
+    cfg = VardenConfig(dim_in=2, prob_type=1, n_cellx=24, n_celly=40,
+                       bcx_lo=bc[0], bcx_hi=bc[0], bcy_lo=bc[1],
+                       bcy_hi=bc[1], grav=-9.8, dtype="float64")
+    sim = Sim(cfg)
+    rng = np.random.RandomState(5)
+    state = problems.initdata(sim)
+    u = state.u + 0.1 * jnp.asarray(rng.rand(*state.u.shape) - 0.5)
+    force = 0.5 * jnp.asarray(rng.rand(*u.shape) - 0.5)
+    ng, n = sim.ng, sim.n_cell
+    adv = [sim.adv_bc[d] for d in range(2)]
+    u_pad = sim.fill_vel(u)
+    f_pad = sim.fill_extrap(force, ng)
+    dt = 2e-3
+    ref = godunov.velpred_2d(u_pad, f_pad, dt, sim.dx, sim.phys_bc, adv,
+                             ng, n, cfg.slope_order, False)
+    out = pallas_godunov.velpred_2d_fused(
+        u_pad, f_pad, dt, sim.dx, sim.phys_bc, adv, ng, n,
+        cfg.slope_order, False, interpret=True)
+    for d in range(2):
+        assert float(jnp.max(jnp.abs(out[d] - ref[d]))) < 1e-13
+
+    from varden_tpu.advance import embed_faces
+    mp = embed_faces(sim, ref, ng)
+    s_pad = sim.fill_scal(state.s)
+    sf_pad = sim.fill_extrap(jnp.zeros_like(state.s), ng)
+    mrhs = sim.fill_extrap(jnp.zeros(n, sim.dtype), ng)
+    scal_adv = [sim.adv_bc[sim.scal_comp(i)] for i in range(sim.nscal)]
+    ref2 = godunov.mkflux_2d(s_pad, mp[0], mp[1], sf_pad, mrhs, dt, sim.dx,
+                             sim.phys_bc, scal_adv, ng, n, False,
+                             [True, False], cfg.slope_order, False)
+    out2 = pallas_godunov.mkflux_2d_fused(
+        s_pad, mp[0], mp[1], sf_pad, mrhs, dt, sim.dx, sim.phys_bc,
+        scal_adv, ng, n, False, [True, False], cfg.slope_order, False,
+        interpret=True)
+    for a, b in zip(out2, ref2):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-13

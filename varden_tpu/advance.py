@@ -99,10 +99,15 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     vf_pad = sim.fill_extrap(vel_force, ng)
     scope = jax.named_scope
     if dm == 2:
+        from .ops import pallas_godunov
+        vp2 = (pallas_godunov.velpred_2d_fused if god2 is godunov
+               else god2.velpred_2d)
+        mf2 = (pallas_godunov.mkflux_2d_fused if god2 is godunov
+               else god2.mkflux_2d)
         with scope("velpred"):
-            umac = god2.velpred_2d(u_pad, vf_pad, dt, dx, sim.phys_bc,
-                                   adv_bc_vel, ng, n, cfg.slope_order,
-                                   cfg.use_minion)
+            umac = vp2(u_pad, vf_pad, dt, dx, sim.phys_bc,
+                       adv_bc_vel, ng, n, cfg.slope_order,
+                       cfg.use_minion)
     else:
         from .ops import pallas_godunov
         fused = (god3 is godunov3d and
@@ -155,7 +160,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     mac_pads = embed_faces(sim, umac, ng)
     with scope("mkflux_s"):
         if dm == 2:
-            sedgex, sedgey, fluxx, fluxy = god2.mkflux_2d(
+            sedgex, sedgey, fluxx, fluxy = mf2(
                 s_pad, mac_pads[0], mac_pads[1], sf_pad, mrhs_pad, dt, dx,
                 sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
                 cfg.slope_order, cfg.use_minion)
@@ -189,7 +194,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     uf_pad = sim.fill_extrap(vel_force, ng)  # t^n force (visc_fac=1)
     with scope("mkflux_u"):
         if dm == 2:
-            uex, uey, ufx, ufy = god2.mkflux_2d(
+            uex, uey, ufx, ufy = mf2(
                 u_pad, mac_pads[0], mac_pads[1], uf_pad, mrhs_pad, dt, dx,
                 sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
                 cfg.slope_order, cfg.use_minion)

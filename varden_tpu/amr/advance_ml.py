@@ -381,9 +381,9 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     for l in range(nlev):
         pb = geom.phys_bc_level(l)
         if dm == 2:
-            umac = godunov.velpred_2d(u_pads[l], vf_pads[l], dt, geom.dx(l),
-                                      pb, adv_bc_vel, ng, geom.specs[l].n,
-                                      cfg.slope_order, cfg.use_minion)
+            umac = pallas_godunov.velpred_2d_fused(
+                u_pads[l], vf_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
+                geom.specs[l].n, cfg.slope_order, cfg.use_minion)
         elif fused_l[l]:
             umac = pallas_godunov.velpred_3d_fused(
                 u_pads[l], vf_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
@@ -434,7 +434,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     for l in range(nlev):
         pb = geom.phys_bc_level(l)
         if dm == 2:
-            ex, ey, fx, fy = godunov.mkflux_2d(
+            ex, ey, fx, fy = pallas_godunov.mkflux_2d_fused(
                 s_pads[l], mac_pads_l[l][0], mac_pads_l[l][1], sf_pads[l],
                 mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_scal, ng,
                 geom.specs[l].n, False, is_cons, cfg.slope_order,
@@ -499,7 +499,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     for l in range(nlev):
         pb = geom.phys_bc_level(l)
         if dm == 2:
-            ex, ey, fx, fy = godunov.mkflux_2d(
+            ex, ey, fx, fy = pallas_godunov.mkflux_2d_fused(
                 u_pads[l], mac_pads_l[l][0], mac_pads_l[l][1], vf_pads[l],
                 mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
                 geom.specs[l].n, True, vel_is_cons, cfg.slope_order,

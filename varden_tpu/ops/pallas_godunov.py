@@ -526,3 +526,118 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
                 p, d, 1)
         for d in range(3))
     return sedge, sflux
+
+
+# ---------------------------------------------------------------------------
+# 2-D whole-grid kernels
+# ---------------------------------------------------------------------------
+#
+# 2-D grids fit VMEM whole (a 512^2 padded field is ~1.3MB), so the entire
+# staged velpred/mkflux pipeline runs as ONE kernel with every BC in-kernel:
+# no tiling, no boundary slabs, no stitching. Every intermediate stays
+# VMEM-resident instead of ~40 HBM round trips between XLA fusions.
+
+def _vmem2d_ok(n_cell, ng, nstage):
+    n0p = n_cell[0] + 2 * ng
+    n1p = -(-(n_cell[1] + 2 * ng) // 128) * 128
+    return nstage * (n0p + 7) // 8 * 8 * n1p * 4 < 60 * 1024 * 1024
+
+
+def tiles2d_supported(n_cell, dtype, ng: int = 3) -> bool:
+    if not HAVE_PALLAS or jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("VARDEN_NO_PALLAS_GODUNOV"):
+        return False
+    if dtype not in (jnp.float32, jnp.dtype("float32")):
+        return False
+    if min(n_cell) < 8:
+        return False
+    return _vmem2d_ok(n_cell, ng, 50)
+
+
+def _velpred2d_kernel(u_ref, f_ref, scal_ref, umac_ref, vmac_ref, *,
+                      dx, ng, n_cell, phys_bc, adv_bc, slope_order,
+                      use_minion):
+    from . import godunov
+    umac, vmac = godunov.velpred_2d(
+        u_ref[...], f_ref[...], scal_ref[0], dx, phys_bc, adv_bc, ng,
+        n_cell, slope_order, use_minion)
+    umac_ref[...] = umac
+    vmac_ref[...] = vmac
+
+
+def velpred_2d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
+                     slope_order, use_minion, *, interpret=False):
+    """Whole-grid fused 2-D velpred; falls back off-TPU / oversize."""
+    from . import godunov
+    if not interpret and not tiles2d_supported(n_cell, u.dtype, ng):
+        return godunov.velpred_2d(u, force, dt, dx, phys_bc, adv_bc_vel,
+                                  ng, n_cell, slope_order, use_minion)
+    nx, ny = n_cell
+    scal = jnp.stack([jnp.asarray(dt, u.dtype)])
+    kern = functools.partial(
+        _velpred2d_kernel, dx=tuple(dx), ng=ng, n_cell=tuple(n_cell),
+        phys_bc=tuple(tuple(b) for b in phys_bc),
+        adv_bc=tuple(tuple(tuple(a) for a in row) for row in adv_bc_vel),
+        slope_order=slope_order, use_minion=use_minion)
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((nx + 1, ny), u.dtype),
+                   jax.ShapeDtypeStruct((nx, ny + 1), u.dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, force, scal)
+
+
+def _mkflux2d_kernel(s_ref, mx_ref, my_ref, f_ref, rhs_ref, scal_ref,
+                     ex_ref, ey_ref, fx_ref, fy_ref, *,
+                     dx, ng, n_cell, phys_bc, adv_bc, is_vel, is_cons,
+                     slope_order, use_minion):
+    from . import godunov
+    ex, ey, fx, fy = godunov.mkflux_2d(
+        s_ref[...], mx_ref[...], my_ref[...], f_ref[...], rhs_ref[...],
+        scal_ref[0], dx, phys_bc, adv_bc, ng, n_cell, is_vel, is_cons,
+        slope_order, use_minion)
+    ex_ref[...] = ex
+    ey_ref[...] = ey
+    fx_ref[...] = fx
+    fy_ref[...] = fy
+
+
+def mkflux_2d_fused(s, umac_pad, vmac_pad, force, mac_rhs, dt, dx, phys_bc,
+                    adv_bc, ng, n_cell, is_vel, is_conservative, slope_order,
+                    use_minion, *, interpret=False):
+    """Whole-grid fused 2-D mkflux; falls back off-TPU / oversize."""
+    from . import godunov
+    nc = s.shape[0]
+    if not interpret and not (tiles2d_supported(n_cell, s.dtype, ng)
+                              and _vmem2d_ok(n_cell, ng, 50 * nc)):
+        return godunov.mkflux_2d(s, umac_pad, vmac_pad, force, mac_rhs, dt,
+                                 dx, phys_bc, adv_bc, ng, n_cell, is_vel,
+                                 is_conservative, slope_order, use_minion)
+    nx, ny = n_cell
+    scal = jnp.stack([jnp.asarray(dt, s.dtype)])
+    kern = functools.partial(
+        _mkflux2d_kernel, dx=tuple(dx), ng=ng, n_cell=tuple(n_cell),
+        phys_bc=tuple(tuple(b) for b in phys_bc),
+        adv_bc=tuple(tuple(tuple(a) for a in row) for row in adv_bc),
+        is_vel=is_vel, is_cons=tuple(bool(b) for b in is_conservative),
+        slope_order=slope_order, use_minion=use_minion)
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((nc, nx + 1, ny), s.dtype),
+                   jax.ShapeDtypeStruct((nc, nx, ny + 1), s.dtype),
+                   jax.ShapeDtypeStruct((nc, nx + 1, ny), s.dtype),
+                   jax.ShapeDtypeStruct((nc, nx, ny + 1), s.dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(s, umac_pad, vmac_pad, force, mac_rhs, scal)

@@ -33,7 +33,8 @@ BC_GHOST = 3
 DEFAULT_NU1 = 2
 DEFAULT_NU2 = 2
 DEFAULT_MAX_CYCLES = 60
-BOTTOM_SIZE = 4
+BOTTOM_SIZE = 8  # levels below 8^dm cost launch latency, not bandwidth;
+# the dense MXU bottom solve is exact at any size and ~free at 8^dm
 
 
 def _pad_ghost(phi, ell_bc, bvals, dm):
@@ -515,20 +516,57 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
         def _debatch(f, ref):
             return f if ref.ndim > dm else f[0]
 
+    # The requested tolerance can sit BELOW the dtype's representable
+    # residual floor (measured f32 floor at 256^3 ~= eps * diag * |phi|:
+    # roundoff of the dominant cancelling terms in L(phi)); grinding sweeps
+    # or V-cycles against that floor is pure stagnation-detection waste. The
+    # effective tolerance therefore includes a computable floor estimate
+    # that tracks the current iterate's magnitude.
+    diag_max = jnp.max(jnp.abs(L0.diag))
+    eps_mach = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    def tol_eff(p):
+        floor = 4.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))  # measured f32 floor: ~4 eps diag |phi| (2.0 under-estimated; V-cycles ground against it)
+        return jnp.maximum(tol, floor)
+
+    def resnorm0(p):
+        if fused_const:
+            r = pk.gsrb_const_sweep_3d(_batched(p), _batched(rhs), inv_diag0,
+                                       coef0, ell_bc, bvals, aco=aco0,
+                                       emit="residual")
+            return jnp.max(jnp.abs(r))
+        if _var_kernel_ok(L0, p, bvals):
+            r = pk.gsrb_var_sweep_3d(
+                p, rhs, L0.diag, L0.beta, L0.dx, L0.ell_bc, bvals,
+                aco=L0.aco if alpha != 0.0 else None, alpha=alpha,
+                emit="residual")
+            return jnp.max(jnp.abs(r))
+        return jnp.max(jnp.abs(rhs - cc_apply(L0, p, bvals)))
+
     phi = phi0
     if alpha != 0.0:
         # Jacobi contraction bound: gamma = max |offdiag| / diag. Per sweep
         # the error contracts by ~gamma (Jacobi) or ~gamma^2 (red-black GS
-        # on the consistently-ordered 7-point operator).
+        # on the consistently-ordered 7-point operator). The sweep budget is
+        # sized from the MEASURED starting residual (one residual pass):
+        # the warm starts these solves get (phi0 = the advected field, off
+        # only by the small diffusive correction) are typically 2-3 decades
+        # inside a cold start, and the budget also respects the dtype's
+        # attainable floor instead of grinding f32 sweeps toward 1e-12.
         safe_diag = jnp.where(L0.diag == 0.0, 1.0, L0.diag)
         gamma = jnp.max((L0.diag - alpha * L0.aco) / safe_diag)
         gamma = jnp.clip(gamma, 1.0e-6, 1.0)
-        target = jnp.asarray(max(rel_eps, 1.0e-14), dtype)
+        rin = resnorm0(phi)
+        target = jnp.maximum(tol_eff(phi),
+                             jnp.asarray(1.0e-14, dtype) * bnorm)
+        ratio = target / jnp.maximum(rin, jnp.asarray(
+            jnp.finfo(dtype).tiny, dtype))
         per_sweep = 1.0 if (scalar_beta and not fused_const) else 2.0
-        k_need = jnp.ceil(jnp.log(target)
+        k_need = jnp.ceil(jnp.log(ratio)
                           / (per_sweep * jnp.log(gamma))) + 2.0
+        k_need = jnp.where(rin <= target, 0.0, k_need)
         k_smooth = jnp.where(gamma < 0.5,
-                             jnp.minimum(k_need, 40.0), 0.0).astype(jnp.int32)
+                             jnp.clip(k_need, 0.0, 40.0), 0.0).astype(jnp.int32)
 
         def s_cond(c):
             return c[1] < k_smooth
@@ -551,34 +589,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
 
         phi, _ = jax.lax.while_loop(s_cond, s_body, (phi, jnp.array(0)))
 
-    def resnorm0(p):
-        if fused_const:
-            r = pk.gsrb_const_sweep_3d(_batched(p), _batched(rhs), inv_diag0,
-                                       coef0, ell_bc, bvals, aco=aco0,
-                                       emit="residual")
-            return jnp.max(jnp.abs(r))
-        if _var_kernel_ok(L0, p, bvals):
-            r = pk.gsrb_var_sweep_3d(
-                p, rhs, L0.diag, L0.beta, L0.dx, L0.ell_bc, bvals,
-                aco=L0.aco if alpha != 0.0 else None, alpha=alpha,
-                emit="residual")
-            return jnp.max(jnp.abs(r))
-        return jnp.max(jnp.abs(rhs - cc_apply(L0, p, bvals)))
-
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-
-    # The requested tolerance can sit BELOW the dtype's representable
-    # residual floor (measured f32 floor at 256^3 ~= eps * diag * |phi|:
-    # roundoff of the dominant cancelling terms in L(phi)); grinding V-cycles
-    # against that floor is pure stagnation-detection waste. The effective
-    # tolerance therefore includes a computable floor estimate that tracks
-    # the current iterate's magnitude.
-    diag_max = jnp.max(jnp.abs(L0.diag))
-    eps_mach = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-
-    def tol_eff(p):
-        floor = 4.0 * eps_mach * diag_max * jnp.max(jnp.abs(p))  # measured f32 floor: ~4 eps diag |phi| (2.0 under-estimated; V-cycles ground against it)
-        return jnp.maximum(tol, floor)
 
     rn0 = resnorm0(phi)
 

@@ -30,7 +30,8 @@ JACOBI_OMEGA = 0.85
 DEFAULT_NU1 = 2
 DEFAULT_NU2 = 2
 DEFAULT_MAX_CYCLES = 100  # hg_multigrid.f90:66
-BOTTOM_SIZE = 4
+BOTTOM_SIZE = 8  # levels below 8^dm cost launch latency, not bandwidth;
+# the dense MXU bottom solve is exact at any size and ~free at 8^dm
 
 
 def element_matrix(dx: Sequence[float]) -> np.ndarray:

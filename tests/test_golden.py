@@ -83,14 +83,15 @@ def test_golden(name):
     got = _run_case(name)
     for k, v in gold[name].items():
         g = got[k]
-        scale = max(abs(v), 1e-30)
+        # f64 end-to-end; tolerate op-reordering across XLA versions/hosts
+        tol = 1e-9 * max(abs(v), 1e-30)
         if k.endswith(".sum"):
             # sums of near-cancelling fields (e.g. pressure) are pure
-            # roundoff; scale by the field magnitude instead
-            scale = max(scale, gold[name].get(k[:-4] + ".linf", 0.0))
-        # f64 end-to-end; tolerate op-reordering across XLA versions only
-        assert abs(g - v) <= 1e-9 * scale, \
-            f"{name}:{k} drifted: golden {v!r} vs {g!r}"
+            # accumulated roundoff; cross-host XLA reassociation moves them
+            # by O(1e-8 * linf), so pin them at 1e-6 * field linf instead
+            tol = max(tol, 1e-6 * gold[name].get(k[:-4] + ".linf", 0.0))
+        assert abs(g - v) <= tol, \
+            f"{name}:{k} drifted: golden {v!r} vs {g!r} (tol {tol:.3e})"
 
 
 if __name__ == "__main__":

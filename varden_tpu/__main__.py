@@ -9,10 +9,17 @@ wall time and device memory statistics (main.f90:31-52 equivalents).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import jax
+
+# Tunneled-TPU plugins may register themselves regardless of JAX_PLATFORMS;
+# re-assert the env var's choice through the config so `JAX_PLATFORMS=cpu
+# python -m varden_tpu ...` really runs on CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main(argv=None):

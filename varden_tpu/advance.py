@@ -142,7 +142,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
         return cur
 
     phi_mac0 = _warm("phi_mac", "phi_mac_prev")
-    umac, div_b, div_a, phi_mac, mac_rn = projection.macproject(
+    umac, div_b, div_a, phi_mac, mac_rn, mac_ratio = projection.macproject(
         sim, umac, sold[0], mac_rhs, phi0=phi_mac0)
 
     # ---- scalar advance
@@ -234,9 +234,8 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
         # velocity extrema before/after projection (hgproject.f90:81-109)
         diag["u_pre_min"] = jnp.min(unew.reshape(dm, -1), axis=1)
         diag["u_pre_max"] = jnp.max(unew.reshape(dm, -1), axis=1)
-    unew, p, gp, phi_hg, hg_rn = projection.hgproject(sim, proj_type, unew,
-                                                      uold, rhohalf, p, gp,
-                                                      dt, phi0=phi_hg0)
+    unew, p, gp, phi_hg, hg_rn, hg_ratio = projection.hgproject(
+        sim, proj_type, unew, uold, rhohalf, p, gp, dt, phi0=phi_hg0)
     if cfg.verbose >= 1:
         diag["u_post_min"] = jnp.min(unew.reshape(dm, -1), axis=1)
         diag["u_post_max"] = jnp.max(unew.reshape(dm, -1), axis=1)
@@ -245,6 +244,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                  "smin": jnp.min(snew[0]), "smax": jnp.max(snew[0]),
                  "umax": jnp.max(jnp.abs(unew)),
                  "mac_resnorm": mac_rn, "hg_resnorm": hg_rn,
+                 "mac_ratio": mac_ratio, "hg_ratio": hg_ratio,
                  "phi_mac": phi_mac, "phi_hg": phi_hg})
     return State(u=unew, s=snew, gp=gp, p=p), diag
 

@@ -171,9 +171,9 @@ def macproject_ml(geom: MLGeom, umac_l, rho_l, phi0_l=None):
 
     div_before = jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in rhs_l]))
     aco_l = [jnp.zeros(geom.specs[l].n, sim.dtype) for l in range(nlev)]
-    phis, _ = amr_solve.composite_cc_solve(
+    phis, (_rn, _iters, mac_ratio) = amr_solve.composite_cc_solve(
         geom, sim.press_comp, rhs_l, aco_l, beta_l, 0.0, phi0_l=phi0_l,
-        rel_eps=rel_eps)
+        rel_eps=rel_eps, return_info=True)
 
     ell0 = [tuple(sim.ell_bc[sim.press_comp][d]) for d in range(dm)]
     new_umac = []
@@ -200,7 +200,7 @@ def macproject_ml(geom: MLGeom, umac_l, rho_l, phi0_l=None):
     div_after = jnp.max(jnp.stack(
         [jnp.max(jnp.abs(basic.mac_div(new_umac[l], geom.dx(l)) + 0.0))
          for l in range(nlev)]))
-    return new_umac, div_before, div_after, phis
+    return new_umac, div_before, div_after, phis, mac_ratio
 
 
 def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
@@ -235,10 +235,9 @@ def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
                 return 0.0
         inflow_l.append(inflow)
 
-    phis, _ = amr_solve.composite_nodal_solve(geom, sigma_l, vel_l,
-                                              inflow_pad_l=inflow_l,
-                                              phi0_l=phi0_l,
-                                              rel_eps=rel_eps)
+    phis, (_rn, _iters, hg_ratio) = amr_solve.composite_nodal_solve(
+        geom, sigma_l, vel_l, inflow_pad_l=inflow_l, phi0_l=phi0_l,
+        rel_eps=rel_eps, return_info=True)
 
     new_u, new_p, new_gp = [], [], []
     for l in range(nlev):
@@ -262,7 +261,7 @@ def hgproject_ml(geom: MLGeom, proj_type, unew_l, uold_l, rhohalf_l, p_l,
         new_gp.append(gp)
     new_u = restrict_and_sync(geom, new_u)
     new_gp = restrict_and_sync(geom, new_gp)
-    return new_u, new_p, new_gp, phis
+    return new_u, new_p, new_gp, phis, hg_ratio
 
 
 def restrict_and_sync(geom: MLGeom, arrs_l):
@@ -396,7 +395,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     umac_l = edge_restrict_mac(geom, umac_l)
 
     # ---- composite MAC projection
-    umac_l, div_b, div_a, phi_mac_l = macproject_ml(
+    umac_l, div_b, div_a, phi_mac_l, mac_ratio = macproject_ml(
         geom, umac_l, s_l, phi0_l=_warm("phi_mac", "phi_mac_prev"))
 
     mac_pads_l = [grow_mac_ml(geom, umac_l, l, ng) for l in range(nlev)]
@@ -555,7 +554,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
         unew_l = restrict_and_sync(geom, unew_l)
 
     # ---- composite nodal projection
-    unew_l, p_l, gp_l, phi_hg_l = hgproject_ml(
+    unew_l, p_l, gp_l, phi_hg_l, hg_ratio = hgproject_ml(
         geom, proj_type, unew_l, u_l, rhohalf_l, p_l, gp_l, dt,
         phi0_l=_warm("phi_hg", "phi_hg_prev"))
 
@@ -564,6 +563,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
     diag = {"div_before": div_b, "div_after": div_a,
             "smin": jnp.min(snew_l[0][0]), "smax": jnp.max(snew_l[0][0]),
             "umax": jnp.max(jnp.abs(unew_l[0])),
+            "mac_ratio": mac_ratio, "hg_ratio": hg_ratio,
             "phi_mac": phi_mac_l, "phi_hg": phi_hg_l}
     return new_states, diag
 

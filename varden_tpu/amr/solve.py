@@ -343,7 +343,8 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
     init = (tuple(phis0), tuple(res0), jnp.array(0), resnorm(res0))
     phis, _, iters, rn = jax.lax.while_loop(cond, body, init)
     if return_info:
-        return list(phis), (rn, iters)
+        tiny = jnp.asarray(jnp.finfo(rn.dtype).tiny, rn.dtype)
+        return list(phis), (rn, iters, rn / jnp.maximum(tol, tiny))
     return list(phis), rn
 
 
@@ -429,6 +430,7 @@ def fine_nodal_mask(geom: MLGeom, lev, extra_mask=None):
 
 
 def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
+                          return_info=False,
                           phi0_l=None, rel_eps=1e-10,
                           max_outer=DEFAULT_OUTER):
     """Composite nodal (hg) solve over the hierarchy: the slave-node
@@ -456,11 +458,11 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
                             inflow_pad=inflow_pad_l[l])
              for l in range(nlev)]
     if nlev == 1:
-        phi, rn = nodal.solve(geom.specs[0].n, geom.dx(0), sim.pmask,
-                              sigma_l[0], rhs_l[0], mask=sim.nodal_mask(),
-                              phi0=None if phi0_l is None else phi0_l[0],
-                              rel_eps=rel_eps)
-        return [phi], rn
+        phi, info = nodal.solve(geom.specs[0].n, geom.dx(0), sim.pmask,
+                                sigma_l[0], rhs_l[0], mask=sim.nodal_mask(),
+                                phi0=None if phi0_l is None else phi0_l[0],
+                                rel_eps=rel_eps, return_info=return_info)
+        return [phi], info
 
     mask0 = sim.nodal_mask()
     masks = [mask0] + [fine_nodal_mask(geom, l) for l in range(1, nlev)]
@@ -630,7 +632,11 @@ def composite_nodal_solve(geom: MLGeom, sigma_l, vel_l, inflow_pad_l=None,
     res0 = comp_residuals(phis)
     init = (tuple(phis), tuple(res0), jnp.array(0), resnorm(res0))
     phis, _, iters, rn = jax.lax.while_loop(cond, body, init)
-    return list(set_interfaces(list(phis))), rn
+    out_phis = list(set_interfaces(list(phis)))
+    if return_info:
+        tiny = jnp.asarray(jnp.finfo(rn.dtype).tiny, rn.dtype)
+        return out_phis, (rn, iters, rn / jnp.maximum(rel_eps * bnorm, tiny))
+    return out_phis, rn
 
 
 def _prolong_node_patch(geom: MLGeom, lev, dc):

@@ -136,6 +136,12 @@ class VardenConfig:
     # XLA's SPMD partitioner inserts the halo exchanges and reductions.
     mesh: int = 0
 
+    # Guard under-converged projection exits: warn when a MAC/HG solve
+    # returns with residual > solver_guard x its effective tolerance
+    # (0 disables; negative raises instead of warning). The reference's
+    # solvers abort outright on non-convergence (bl_error in mg_tower).
+    solver_guard: float = 100.0
+
     # Coarsen plot output by 2x before writing (the reference's
     # coarsen_plot_data branch, varden.f90:521-588 — a compile-time flag
     # there, implemented for single-level runs only).

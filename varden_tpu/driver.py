@@ -98,7 +98,7 @@ class Varden:
     def _initial_projection_impl(self, state: State) -> State:
         """Constant-density initial projection (varden.f90:126-138)."""
         rhohalf = jnp.ones_like(state.s[0])
-        u, p, gp, _phi, _rn = projection.hgproject(
+        u, p, gp, _phi, _rn, _ratio = projection.hgproject(
             self.sim, projection.INITIAL_PROJECTION, state.u, state.u,
             rhohalf, state.p, state.gp, 1.0)
         return State(u=u, s=state.s, gp=jnp.zeros_like(gp),
@@ -119,7 +119,7 @@ class Varden:
         if cfg.do_initial_projection > 0:
             def iproj(states):
                 rhohalf = [jnp.ones_like(st.s[0]) for st in states]
-                u, p, gp, _phi = advance_ml.hgproject_ml(
+                u, p, gp, _phi, _ratio = advance_ml.hgproject_ml(
                     self.geom, projection.INITIAL_PROJECTION,
                     [st.u for st in states], [st.u for st in states],
                     rhohalf, [st.p for st in states],
@@ -188,6 +188,7 @@ class Varden:
                           "phi_hg_prev": self._ml_hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
+        self._check_solver_health(diag)
         print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
               f"DT = {self.dt:14.9f}  (levels: "
               f"{[s.n for s in self.geom.specs]})")
@@ -293,6 +294,7 @@ class Varden:
                        "phi_hg_prev": self._hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
+        self._check_solver_health(diag)
         if cfg.verbose >= 1:
             print(f"... max of [div(umac)-RHS] before/after MAC projection "
                   f"{float(diag['div_before']):15.8e} {float(diag['div_after']):15.8e}")
@@ -322,6 +324,29 @@ class Varden:
         print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
               f"DT = {self.dt:14.9f}")
         return state
+
+    def _check_solver_health(self, diag):
+        """Guard under-converged projection exits: a stagnation-cut or
+        max_cycles exit whose residual sits far above the effective
+        tolerance means the projection silently failed (the reference's
+        solvers abort outright on non-convergence; bl_error in
+        mg_tower_solve). solver_guard = k warns at ratio > k, 0 disables,
+        negative k raises."""
+        k = self.cfg.solver_guard
+        if k == 0.0:
+            return
+        for nm in ("mac_ratio", "hg_ratio"):
+            if nm not in diag:
+                continue
+            r = float(jnp.max(diag[nm]))
+            if r > abs(k):
+                msg = (f"step {self.istep}: {nm.split('_')[0].upper()} "
+                       f"projection exited {r:.1f}x above its effective "
+                       f"tolerance (solver_guard={k})")
+                if k < 0:
+                    raise RuntimeError(msg)
+                import warnings
+                warnings.warn(msg)
 
     def restart(self) -> State:
         """Resume from a checkpoint (reference initialize_from_restart,

@@ -76,8 +76,9 @@ def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
     ell_bc = [tuple(sim.ell_bc[sim.press_comp][d]) for d in range(dm)]
     aco = jnp.zeros(n, sim.dtype)
     with jax.named_scope("mac_solve"):
-        phi, mac_rn = mg.solve(n, dx, ell_bc, aco, beta, rhs, alpha=0.0,
-                               phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0)
+        phi, (mac_rn, _iters, mac_ratio) = mg.solve(
+            n, dx, ell_bc, aco, beta, rhs, alpha=0.0,
+            phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0, return_info=True)
 
     # subtract beta * grad(phi) on every face; the BC-aware ghost pad makes
     # the 2-point difference realize the one-sided boundary gradient that the
@@ -103,7 +104,7 @@ def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
 
     div_after = basic.mac_div(new_umac, dx) - mac_rhs
     return (new_umac, jnp.max(jnp.abs(div_before)),
-            jnp.max(jnp.abs(div_after)), phi, mac_rn)
+            jnp.max(jnp.abs(div_after)), phi, mac_rn, mac_ratio)
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +125,10 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
               rhohalf: jnp.ndarray, p: jnp.ndarray, gp: jnp.ndarray,
               dt, rel_eps: Optional[float] = None, abs_eps: float = -1.0,
               phi0=None):
-    """Approximate nodal projection. Returns (unew, p, gp, phi, resnorm).
+    """Approximate nodal projection.
+
+    Returns (unew, p, gp, phi, resnorm, ratio) where ratio is
+    resnorm / effective-tolerance (> 1 marks an under-converged exit).
 
     phi0 warm-starts the nodal solve. proj_type semantics follow reference
     hgproject.f90:374-430 & :581-634. resnorm is the nodal solver's final
@@ -149,8 +153,9 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
     mask = sim.nodal_mask()
     rhs = nodal.divu_rhs(vel, dx, pmask, dm, inflow_pad=_inflow_pad(sim))
     with jax.named_scope("hg_solve"):
-        phi, hg_rn = nodal.solve(n, dx, pmask, sigma, rhs, mask=mask,
-                                 phi0=phi0, rel_eps=rel_eps, abs_eps=abs_eps)
+        phi, (hg_rn, _iters, hg_ratio) = nodal.solve(
+            n, dx, pmask, sigma, rhs, mask=mask, phi0=phi0,
+            rel_eps=rel_eps, abs_eps=abs_eps, return_info=True)
     gphi = nodal.cell_grad(phi, dx, pmask, dm)
 
     # hg_update (hgproject.f90:581-634)
@@ -169,7 +174,7 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
     else:  # REGULAR_TIMESTEP: phi held dt*pressure
         gp = gphi / dt
         p = phi / dt
-    return unew, p, gp, phi, hg_rn
+    return unew, p, gp, phi, hg_rn, hg_ratio
 
 
 # ---------------------------------------------------------------------------

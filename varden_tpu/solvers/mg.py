@@ -119,6 +119,9 @@ class CCLevel:
     beta: Tuple[jnp.ndarray, ...]         # beta[d]: faces along d (n_d+1)
     alpha: float
     diag: jnp.ndarray                     # smoother diagonal
+    # per-axis coarsening factor (1 or 2) toward the NEXT coarser level;
+    # None for standalone levels / the bottom (semi-coarsening support)
+    cfac: Tuple[int, ...] = None
 
     @property
     def dm(self):
@@ -132,17 +135,22 @@ def _is_scalar_coef(b) -> bool:
     return not hasattr(b, "ndim") or b.ndim == 0
 
 
-def _face_avg_down(beta_d, d, dm):
+def _face_avg_down(beta_d, d, dm, fac=None):
     """Coarsen a face-centered coefficient: keep coincident planes (even
-    indices along d), average 2-cell tangential blocks."""
+    indices along d), average 2-cell tangential blocks. fac (per-axis 1/2)
+    selects which axes coarsen (semi-coarsening); default all."""
     if _is_scalar_coef(beta_d):
         return beta_d
-    axis_d = beta_d.ndim - dm + d
-    sl = [slice(None)] * beta_d.ndim
-    sl[axis_d] = slice(0, None, 2)
-    out = beta_d[tuple(sl)]
+    if fac is None:
+        fac = (2,) * dm
+    out = beta_d
+    if fac[d] == 2:
+        axis_d = beta_d.ndim - dm + d
+        sl = [slice(None)] * beta_d.ndim
+        sl[axis_d] = slice(0, None, 2)
+        out = beta_d[tuple(sl)]
     for t in range(dm):
-        if t == d:
+        if t == d or fac[t] == 1:
             continue
         axis_t = out.ndim - dm + t
         a = [slice(None)] * out.ndim
@@ -153,8 +161,12 @@ def _face_avg_down(beta_d, d, dm):
     return out
 
 
-def _cell_avg_down(f, dm):
+def _cell_avg_down(f, dm, fac=None):
+    if fac is None:
+        fac = (2,) * dm
     for d in range(dm):
+        if fac[d] == 1:
+            continue
         axis = f.ndim - dm + d
         a = [slice(None)] * f.ndim
         b = [slice(None)] * f.ndim
@@ -235,20 +247,46 @@ def laplacian(f, n, dx, ell_bc, bvals=None):
     return -cc_apply(level, f, bvals)
 
 
+def _coarsen_plan(n, dx, dm):
+    """Per-axis coarsening factors (2 = halve, 1 = keep) toward the next
+    coarser level, or None to stop.
+
+    Semi-coarsening: halve only axes whose dx sits near the minimum (the
+    strongly-coupled directions, where point GSRB actually smooths); a
+    weakly-coupled axis keeps its extent until the others' dx catches up.
+    On isotropic-dx near-cubic grids every axis halves — identical to
+    classic full coarsening. Stops on the bottom PROBLEM size (prod <=
+    BOTTOM_SIZE^dm), not any single axis, so anisotropic-extent grids
+    (256x8x256) keep coarsening their long axes and the dense bottom solve
+    never scales with the aspect ratio (ADVICE r3)."""
+    prod_n = 1
+    for s in n:
+        prod_n *= s
+    if prod_n <= BOTTOM_SIZE ** dm:
+        return None
+    halvable = [d for d in range(dm) if n[d] % 2 == 0 and n[d] >= 4]
+    if not halvable:
+        return None
+    dmin = min(dx[d] for d in halvable)
+    return tuple(2 if (d in halvable and dx[d] <= 1.5 * dmin) else 1
+                 for d in range(dm))
+
+
 def build_hierarchy(n, dx, ell_bc, aco, beta, alpha) -> List[CCLevel]:
-    """Build the level stack by factor-2 coarsening (finest first)."""
+    """Build the level stack by factor-2 (semi-)coarsening (finest first)."""
     dm = len(n)
     levels = []
     while True:
         diag = _make_diag(n, dx, ell_bc, aco, beta, alpha, dm)
+        fac = _coarsen_plan(n, dx, dm)
         levels.append(CCLevel(tuple(n), tuple(dx), tuple(map(tuple, ell_bc)),
-                              aco, tuple(beta), alpha, diag))
-        if any(s % 2 != 0 or s <= BOTTOM_SIZE for s in n):
+                              aco, tuple(beta), alpha, diag, cfac=fac))
+        if fac is None:
             break
-        n = [s // 2 for s in n]
-        dx = [2.0 * h for h in dx]
-        aco = _cell_avg_down(aco, dm)
-        beta = [_face_avg_down(beta[d], d, dm) for d in range(dm)]
+        n = [n[d] // fac[d] for d in range(dm)]
+        dx = [dx[d] * fac[d] for d in range(dm)]
+        aco = _cell_avg_down(aco, dm, fac)
+        beta = [_face_avg_down(beta[d], d, dm, fac) for d in range(dm)]
     return levels
 
 
@@ -421,7 +459,9 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
         out = phi + bottom_dense_solve(level, r, singular)
         return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = gsrb(level, phi, rhs, bv, nu1)
-    if _var_kernel_ok(level, phi, bv) and all(s % 2 == 0 for s in level.n):
+    fac = level.cfac if level.cfac is not None else (2,) * level.dm
+    if (_var_kernel_ok(level, phi, bv) and fac == (2,) * level.dm
+            and all(s % 2 == 0 for s in level.n)):
         # fused residual + 2^dm restriction + residual-max in ONE pass
         from ..ops import pallas_kernels as pk
         aco = level.aco if level.alpha != 0.0 else None
@@ -434,12 +474,14 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
         crs, rmax = fused
     else:
         res = rhs - cc_apply(level, phi, bv)
-        crs = _cell_avg_down(res, level.dm)
+        crs = _cell_avg_down(res, level.dm, fac)
         rmax = jnp.max(jnp.abs(res))
     corr = jnp.zeros_like(crs)
     corr = v_cycle(levels, corr, crs, bvals, lev + 1, nu1, nu2, singular)
-    # piecewise-constant prolongation
+    # piecewise-constant prolongation (only the coarsened axes)
     for d in range(level.dm):
+        if fac[d] == 1:
+            continue
         axis = corr.ndim - level.dm + d
         corr = jnp.repeat(corr, 2, axis=axis)
     phi = phi + corr
@@ -564,7 +606,9 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
         per_sweep = 1.0 if (scalar_beta and not fused_const) else 2.0
         k_need = jnp.ceil(jnp.log(ratio)
                           / (per_sweep * jnp.log(gamma))) + 2.0
-        k_need = jnp.where(rin <= target, 0.0, k_need)
+        # non-finite rin (diverged prior state / bad warm start) must fall
+        # through to the MG branch with zero sweeps, not clip/astype a NaN
+        k_need = jnp.where(jnp.isfinite(rin) & (rin > target), k_need, 0.0)
         k_smooth = jnp.where(gamma < 0.5,
                              jnp.clip(k_need, 0.0, 40.0), 0.0).astype(jnp.int32)
 
@@ -591,7 +635,13 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-    rn0 = resnorm0(phi)
+    if alpha != 0.0:
+        # phi is unchanged when no sweeps ran (already-converged warm start
+        # or gamma >= 0.5): reuse the measured rin instead of paying a
+        # second full-grid residual pass on exactly that fast path
+        rn0 = jax.lax.cond(k_smooth > 0, resnorm0, lambda p: rin, phi)
+    else:
+        rn0 = resnorm0(phi)
 
     # The whole multigrid machinery — hierarchy coarsening (several strided
     # passes over aco/beta), V-cycles, bottom solve — lives inside a
@@ -632,13 +682,19 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
             return jnp.logical_and(go, jnp.logical_not(stalled))
 
         def obody(carry):
-            p, k, rn, _ = carry
+            p, k, rn_prev, _ = carry
             tl = tol_eff(p)
             p, mon = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
                              return_resnorm=True)
             p, k, mon, _, _ = jax.lax.while_loop(
                 icond, ibody, (p, k + 1, mon, big, tl))
-            return p, k, resnorm(p), mon > tl
+            rn = resnorm(p)
+            # stall = the TRUE residual no longer contracting (the f32
+            # roundoff floor), NOT the in-cycle monitor: the monitor's
+            # pre-smooth max-norm can transiently bounce on anisotropic
+            # operators (red-black GS residual spikes in the weakly
+            # coupled direction) while the cycle still converges at ~0.2
+            return p, k, rn, rn > 0.9 * rn_prev
 
         phi, iters, rn, _ = jax.lax.while_loop(
             ocond, obody, (phi, jnp.array(0), rn0, jnp.array(False)))
@@ -652,5 +708,9 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
     if singular:
         phi = phi - _mean_sp(phi, dm)
     if return_info:
-        return phi, (rn, iters)
+        # ratio of achieved residual to the effective (floor-aware) target:
+        # > 1 means a stagnation-cut / max_cycles exit above tolerance
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        ratio = rn / jnp.maximum(tol_eff(phi), tiny)
+        return phi, (rn, iters, ratio)
     return phi, rn

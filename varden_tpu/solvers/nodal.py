@@ -655,5 +655,8 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
     if singular:
         phi = phi - jnp.mean(phi)
     if return_info:
-        return phi, (rn, iters)
+        # achieved / effective-target ratio (> 1 = under-converged exit)
+        tiny = jnp.asarray(jnp.finfo(rhs.dtype).tiny, rhs.dtype)
+        ratio = rn / jnp.maximum(tol_eff(phi), tiny)
+        return phi, (rn, iters, ratio)
     return phi, rn

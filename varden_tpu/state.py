@@ -34,6 +34,12 @@ class Sim:
 
     def __init__(self, cfg: VardenConfig):
         cfg.validate()
+        if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+            # the reference is dp_t end-to-end (src/bl_types usage); without
+            # this, every f64 request silently truncates to f32 at array
+            # creation. On backends without f64 (TPU) this turns the silent
+            # truncation into a loud compile error instead.
+            jax.config.update("jax_enable_x64", True)
         self.cfg = cfg
         self.dm = cfg.dm
         self.n_cell = cfg.n_cell

@@ -1,16 +1,20 @@
-"""Headline benchmark: cell-updates/sec on the full advance_timestep.
+"""Benchmark harness: cell-updates/sec on the full advance_timestep.
 
-Runs the 3-D variable-density bubble (the reference's flagship regression
-config, scaled up) on whatever accelerator is attached and times steady-state
-steps of the fully-jitted timestep. Timing is differenced ((t(K2)-t(K1)) /
-(K2-K1)) around host-scalar syncs, which stays honest on platforms where
-block_until_ready does not block (e.g. tunneled TPUs).
+Measures the FIVE BASELINE.json configs plus the headline (3-D 256^3
+variable-density bubble, the reference's flagship regression config scaled
+up) on whatever accelerator is attached, and prints ONE JSON line: the
+headline metric with every per-config number attached under "configs" (the
+full artifact is also written to BENCH_ALL.json). Timing is differenced
+((t(K2)-t(K1)) / (K2-K1)) around host-scalar syncs, which stays honest on
+platforms where block_until_ready does not block (e.g. tunneled TPUs).
 
-vs_baseline uses BASELINE.md's generated-baseline convention: the reference
-publishes no numbers (BASELINE.json "published": {}), so we normalize against
-an estimated single-node Fortran VARDEN throughput of 2.0e6 cell-updates/s
-(O(1 us)/cell/step for the full Godunov + 2 MG solves pipeline on one CPU
-node — documented assumption, to be replaced by a measured Fortran run).
+Baseline basis (see BASELINE.md "Bounding the single-node Fortran
+baseline"): the reference publishes no numbers, and no Fortran toolchain
+exists in this image, so the denominator is an operation/bandwidth model of
+the algorithm the reference executes: ~2.5-4 KB DRAM traffic/cell/step on a
+100-200 GB/s node at 10-30% streaming efficiency => 3-20 Mcells/s/node.
+vs_baseline keeps the round-1..3 convention (assumed 2.0e6 cells/s, the
+low/single-fast-core end); vs_node_range brackets against the full band.
 """
 import json
 import os
@@ -20,26 +24,93 @@ import time
 import jax
 import jax.numpy as jnp
 
-ASSUMED_FORTRAN_BASELINE = 2.0e6  # cell-updates/sec, single node (see above)
+ASSUMED_FORTRAN_BASELINE = 2.0e6  # cell-updates/s (single fast core; low end)
+NODE_BAND = (3.0e6, 2.0e7)        # cells/s per full Fortran node (BASELINE.md)
+BASELINE_BASIS = (
+    "assumed 2.0e6 cells/s single-core Fortran (no toolchain in image); "
+    "roofline band for a full node 3e6-2e7 cells/s -> vs_node_range")
 
 
-def bench_amr(n, dtype):
-    """AMR variant (BASELINE config 3/5 family): 2-level 3-D bubble, the
-    composite step timed with differencing. Composite cells = coarse
-    uncovered + fine."""
+def _result(name, cups, detail):
+    return {
+        "name": name,
+        "cells_per_s": round(cups, 1),
+        "vs_baseline": round(cups / ASSUMED_FORTRAN_BASELINE, 2),
+        "vs_node_range": [round(cups / NODE_BAND[1], 2),
+                          round(cups / NODE_BAND[0], 2)],
+        "detail": detail,
+    }
+
+
+def _sync(x):
+    _ = float(jnp.sum(x))
+
+
+def bench_single(name, cfg, k1, k2):
+    """Single-level configs: jitted regular timestep, differenced timing."""
+    from varden_tpu.state import Sim
+    from varden_tpu import advance, problems, projection
+    from varden_tpu.solvers import nodal
+
+    sim = Sim(cfg)
+    state0 = problems.initdata(sim)
+
+    @jax.jit
+    def step(state, dt, hints):
+        new_state, diag = advance.advance_timestep(
+            sim, state, dt, projection.REGULAR_TIMESTEP, hints=hints)
+        return new_state, {"phi_mac": diag["phi_mac"],
+                           "phi_mac_prev": hints["phi_mac"],
+                           "phi_hg": diag["phi_hg"],
+                           "phi_hg_prev": hints["phi_hg"]}
+
+    dt = jnp.asarray(cfg.fixed_dt if cfg.fixed_dt > 0 else 5e-4, sim.dtype)
+    z_mac = jnp.zeros(sim.n_cell, sim.dtype)
+    z_hg = jnp.zeros(nodal.node_shape(sim.n_cell, sim.pmask), sim.dtype)
+    hints0 = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
+              "phi_hg": z_hg, "phi_hg_prev": z_hg}
+
+    def run(k):
+        t0 = time.perf_counter()
+        s, h = state0, hints0
+        for _ in range(k):
+            s, h = step(s, dt, h)
+        _sync(s.u)
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t1 = min(run(k1) for _ in range(2))
+    t2 = min(run(k2) for _ in range(2))
+    per_step = (t2 - t1) / (k2 - k1)
+    cells = 1
+    for s in sim.n_cell:
+        cells *= s
+    cups = cells / per_step
+    return _result(name, cups, {
+        "n": list(sim.n_cell), "dtype": cfg.dtype,
+        "ms_per_step": round(per_step * 1e3, 3)})
+
+
+def _composite_cells(geom):
+    """Uncovered coarse + fine cells across the hierarchy."""
     import numpy as np
-    from varden_tpu.config import VardenConfig
+    total = 0
+    for spec in geom.specs:
+        total += int(np.prod(spec.n))
+    # subtract covered coarse cells (each fine patch covers n/2^dm parents)
+    for spec in geom.specs[1:]:
+        total -= int(np.prod(spec.n)) // (2 ** len(spec.n))
+    return total
+
+
+def bench_ml_fixed(name, cfg, k1, k2):
+    """Multi-level configs with a fixed (post-init) hierarchy: the jitted
+    composite step, differenced timing."""
     from varden_tpu.driver import Varden
 
-    cfg = VardenConfig(
-        dim_in=3, prob_type=1, n_cellx=n, n_celly=n, n_cellz=n,
-        max_levs=2, regrid_int=-1, bcx_lo=15, bcx_hi=15, bcy_lo=15,
-        bcy_hi=15, bcz_lo=15, bcz_hi=15, grav=-9.8, visc_coef=1e-3,
-        cflfac=0.5, init_shrink=0.5, max_step=0, init_iter=0, dtype=dtype)
     v = Varden(cfg)
     states = v.initialize_ml()
     step = v._ml_step_fn(4)  # REGULAR_TIMESTEP
-    import jax.numpy as jnp
     dt = 5e-4
     hints0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
 
@@ -50,23 +121,54 @@ def bench_amr(n, dtype):
             s, diag = step(s, dt, h)
             h = {"phi_mac": diag["phi_mac"], "phi_mac_prev": h["phi_mac"],
                  "phi_hg": diag["phi_hg"], "phi_hg_prev": h["phi_hg"]}
-        _ = float(jnp.sum(s[0].u))
+        _sync(s[0].u)
         return time.perf_counter() - t0
 
     run(1)
-    t1 = min(run(1) for _ in range(2))
-    t2 = min(run(5) for _ in range(2))
-    per_step = (t2 - t1) / 4
-    fine_cells = int(np.prod(v.geom.specs[1].n))
-    cells = n ** 3 + fine_cells - fine_cells // 8  # uncovered coarse + fine
+    t1 = min(run(k1) for _ in range(2))
+    t2 = min(run(k2) for _ in range(2))
+    per_step = (t2 - t1) / (k2 - k1)
+    cells = _composite_cells(v.geom)
     cups = cells / per_step
-    print(json.dumps({
-        "metric": f"cell-updates/sec/chip, 3D {n}^3 + 1 AMR level bubble, "
-                  f"composite timestep ({dtype}, differenced timing)",
-        "value": round(cups, 1),
-        "unit": "cell-updates/s",
-        "vs_baseline": round(cups / ASSUMED_FORTRAN_BASELINE, 3),
-    }))
+    return _result(name, cups, {
+        "levels": [list(s.n) for s in v.geom.specs], "dtype": cfg.dtype,
+        "ms_per_step": round(per_step * 1e3, 3)})
+
+
+def bench_ml_regrid(name, cfg, k1, k2):
+    """Config 3: 2-level AMR with regrid INSIDE the timed loop (the
+    reference regrids every regrid_int steps during its runs). The step
+    sequence is deterministic, so one warm episode compiles every hierarchy
+    shape in the sequence and the timed episodes replay it."""
+    from varden_tpu.driver import Varden
+
+    v = Varden(cfg)
+    v.bench_async = True  # keep dt on-device: no per-step host round-trip
+    states0 = v.initialize_ml()
+    geom0, dt0, t0_, hints0 = v.geom, v.dt, v.time, v._ml_hints
+
+    def episode(k):
+        # replay from the post-init snapshot; the regrid sequence (and thus
+        # every compiled shape) is identical across episodes
+        v.geom, v.dt, v.time, v.istep = geom0, dt0, t0_, 0
+        v._ml_hints = hints0
+        s = states0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            s = v.step_ml(s)
+        _sync(s[0].u)
+        return time.perf_counter() - t0
+
+    episode(k2)  # warm every shape in the sequence
+    t1 = min(episode(k1) for _ in range(2))
+    t2 = min(episode(k2) for _ in range(2))
+    per_step = (t2 - t1) / (k2 - k1)
+    cells = _composite_cells(v.geom)
+    cups = cells / per_step
+    return _result(name, cups, {
+        "levels": [list(s.n) for s in v.geom.specs], "dtype": cfg.dtype,
+        "regrid_int": cfg.regrid_int,
+        "ms_per_step": round(per_step * 1e3, 3)})
 
 
 def check_fused(n, dtype):
@@ -74,7 +176,6 @@ def check_fused(n, dtype):
     windowed path on the attached device and record their max deviation in
     FUSED_CHECK.json (the TPU-run counterpart of the interpret-mode kernel
     tests — SURVEY.md §4 items 1/3)."""
-    import jax.numpy as jnp
     from varden_tpu.config import VardenConfig
     from varden_tpu.state import Sim
     from varden_tpu import advance, problems
@@ -133,66 +234,133 @@ def check_fused(n, dtype):
     print(json.dumps(result))
 
 
+def build_configs(dtype):
+    """The five BASELINE.json benchmark configs + the headline."""
+    from varden_tpu.config import VardenConfig
+    wall2 = dict(bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15)
+    wall3 = dict(wall2, bcz_lo=15, bcz_hi=15)
+    n_head = int(os.environ.get("BENCH_N", "256"))
+    return [
+        # (key, kind, cfg, k1, k2)
+        ("headline-bubble3d-%d" % n_head, "single", VardenConfig(
+            dim_in=3, prob_type=1, n_cellx=n_head, n_celly=n_head,
+            n_cellz=n_head, grav=-9.8, visc_coef=1e-3, cflfac=0.5,
+            dtype=dtype, **wall3),
+         int(os.environ.get("BENCH_K1", "1")),
+         int(os.environ.get("BENCH_K2", "6"))),
+        ("cfg1-bubble2d-64", "single", VardenConfig(
+            dim_in=2, prob_type=1, n_cellx=64, n_celly=64, grav=-9.8,
+            visc_coef=0.0, cflfac=0.9, dtype=dtype, **wall2), 10, 60),
+        ("cfg2-visc2d-128", "single", VardenConfig(
+            dim_in=2, prob_type=1, n_cellx=128, n_celly=128, grav=-9.8,
+            visc_coef=1e-3, cflfac=0.9, dtype=dtype, **wall2), 10, 60),
+        ("cfg3-amr2d-64-regrid4", "ml_regrid", VardenConfig(
+            dim_in=2, prob_type=1, n_cellx=64, n_celly=64, max_levs=2,
+            regrid_int=4, grav=-9.8, visc_coef=1e-3, cflfac=0.9,
+            init_shrink=0.1, init_iter=1, max_step=0, dtype=dtype,
+            **wall2), 8, 24),
+        ("cfg4-rt3d-128", "single", VardenConfig(
+            dim_in=3, prob_type=3, n_cellx=128, n_celly=128, n_cellz=128,
+            grav=-9.8, visc_coef=1e-3, cflfac=0.9, dtype=dtype,
+            bcx_lo=-1, bcx_hi=-1, bcy_lo=-1, bcy_hi=-1, bcz_lo=15,
+            bcz_hi=15), 2, 8),
+        ("cfg5-amr3d-%d-3lev" % int(os.environ.get("BENCH_N5", "256")),
+         "ml_fixed", VardenConfig(
+            dim_in=3, prob_type=1,
+            n_cellx=int(os.environ.get("BENCH_N5", "256")),
+            n_celly=int(os.environ.get("BENCH_N5", "256")),
+            n_cellz=int(os.environ.get("BENCH_N5", "256")), max_levs=3,
+            regrid_int=-1, grav=-9.8, visc_coef=1e-3, cflfac=0.5,
+            init_shrink=0.5, init_iter=0, max_step=0, dtype=dtype,
+            **wall3), 1, 4),
+    ]
+
+
 def main():
-    # BASELINE.json's metric is cell-updates/sec/chip at 256^3
-    n = int(os.environ.get("BENCH_N", "256"))
-    k1 = int(os.environ.get("BENCH_K1", "1"))
-    k2 = int(os.environ.get("BENCH_K2", "6"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     if os.environ.get("VARDEN_CHECK_FUSED", ""):
         return check_fused(int(os.environ.get("BENCH_N", "128")), dtype)
     if os.environ.get("BENCH_MODE", "") == "amr":
-        return bench_amr(int(os.environ.get("BENCH_N", "64")), dtype)
+        # legacy alias: the 2-level fixed-hierarchy AMR composite step
+        from varden_tpu.config import VardenConfig
+        n = int(os.environ.get("BENCH_N", "64"))
+        cfg = VardenConfig(
+            dim_in=3, prob_type=1, n_cellx=n, n_celly=n, n_cellz=n,
+            max_levs=2, regrid_int=-1, bcx_lo=15, bcx_hi=15, bcy_lo=15,
+            bcy_hi=15, bcz_lo=15, bcz_hi=15, grav=-9.8, visc_coef=1e-3,
+            cflfac=0.5, init_shrink=0.5, max_step=0, init_iter=0,
+            dtype=dtype)
+        r = bench_ml_fixed(f"amr3d-{n}-2lev", cfg, 1, 5)
+        print(json.dumps({
+            "metric": f"cell-updates/sec/chip, 3D {n}^3 + 1 AMR level "
+                      f"bubble, composite timestep ({dtype})",
+            "value": r["cells_per_s"], "unit": "cell-updates/s",
+            "vs_baseline": r["vs_baseline"], "baseline_basis": BASELINE_BASIS,
+            "detail": r["detail"]}))
+        return
 
-    from varden_tpu.config import VardenConfig
-    from varden_tpu.state import Sim
-    from varden_tpu import advance, problems, projection
+    # persistent compile cache: the regrid bench replays hierarchy shape
+    # sequences; caching makes reruns (and driver invocations) cheap
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    cfg = VardenConfig(
-        dim_in=3, prob_type=1, n_cellx=n, n_celly=n, n_cellz=n,
-        bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15,
-        grav=-9.8, visc_coef=1e-3, cflfac=0.5, dtype=dtype)
-    sim = Sim(cfg)
-    state0 = problems.initdata(sim)
+    only = os.environ.get("BENCH_CONFIGS", "")  # comma-separated key filter
+    budget = float(os.environ.get("BENCH_BUDGET", "2400"))
+    t_start = time.perf_counter()
+    results, skipped = {}, []
+    headline = None
+    for key, kind, cfg, k1, k2 in build_configs(dtype):
+        if only and not any(f in key for f in only.split(",")):
+            continue
+        if time.perf_counter() - t_start > budget and headline is not None:
+            skipped.append(key)
+            continue
+        try:
+            # stdout must stay a single JSON line: the driver-level STEP
+            # banners from the regrid bench go to stderr
+            import contextlib
+            with contextlib.redirect_stdout(sys.stderr):
+                if kind == "single":
+                    r = bench_single(key, cfg, k1, k2)
+                elif kind == "ml_fixed":
+                    r = bench_ml_fixed(key, cfg, k1, k2)
+                else:
+                    r = bench_ml_regrid(key, cfg, k1, k2)
+        except Exception as e:  # OOM on small hosts etc.: report, move on
+            print(f"[bench] {key} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            results[key] = {"name": key, "error": f"{type(e).__name__}: {e}"}
+            continue
+        results[key] = r
+        if key.startswith("headline"):
+            headline = r
+        print(f"[bench] {key}: {r['cells_per_s']:.3e} cells/s "
+              f"({r['detail'].get('ms_per_step')} ms/step)", file=sys.stderr)
 
-    from varden_tpu.solvers import nodal
+    artifact = {"configs": results, "skipped": skipped,
+                "baseline_basis": BASELINE_BASIS, "dtype": dtype,
+                "backend": jax.default_backend()}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_ALL.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
 
-    @jax.jit
-    def step(state, dt, hints):
-        new_state, diag = advance.advance_timestep(
-            sim, state, dt, projection.REGULAR_TIMESTEP, hints=hints)
-        return new_state, {"phi_mac": diag["phi_mac"],
-                           "phi_mac_prev": hints["phi_mac"],
-                           "phi_hg": diag["phi_hg"],
-                           "phi_hg_prev": hints["phi_hg"]}
-
-    dt = jnp.asarray(5e-4, sim.dtype)
-    z_mac = jnp.zeros(sim.n_cell, sim.dtype)
-    z_hg = jnp.zeros(nodal.node_shape(sim.n_cell, sim.pmask), sim.dtype)
-    hints0 = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
-              "phi_hg": z_hg, "phi_hg_prev": z_hg}
-
-    def run(k):
-        t0 = time.perf_counter()
-        s, h = state0, hints0
-        for _ in range(k):
-            s, h = step(s, dt, h)
-        _ = float(jnp.sum(s.u))  # host pull forces completion
-        return time.perf_counter() - t0
-
-    run(1)  # compile + warm
-    t1 = min(run(k1) for _ in range(2))
-    t2 = min(run(k2) for _ in range(2))
-    per_step = (t2 - t1) / (k2 - k1)
-
-    cells = n ** 3
-    cups = cells / per_step
+    if headline is None:  # filtered out: report whatever ran
+        headline = next((r for r in results.values() if "error" not in r),
+                        None) or {"cells_per_s": 0.0, "vs_baseline": 0.0,
+                                  "name": "none"}
     print(json.dumps({
-        "metric": f"cell-updates/sec/chip, 3D {n}^3 variable-density bubble, "
+        "metric": "cell-updates/sec/chip, 3D 256^3 variable-density bubble, "
                   f"full timestep ({dtype}, differenced timing)",
-        "value": round(cups, 1),
+        "value": headline["cells_per_s"],
         "unit": "cell-updates/s",
-        "vs_baseline": round(cups / ASSUMED_FORTRAN_BASELINE, 3),
+        "vs_baseline": headline["vs_baseline"],
+        "baseline_basis": BASELINE_BASIS,
+        "vs_node_range": headline.get("vs_node_range"),
+        "configs": {k: {kk: vv for kk, vv in r.items() if kk != "name"}
+                    for k, r in results.items()},
     }))
 
 

@@ -98,3 +98,61 @@ def test_write_grids(tmp_path):
     write_grids(str(f), geom, 3)
     txt = f.read_text()
     assert "step 3" in txt and "level 2" in txt and "(8,8)" in txt
+
+
+def test_all_shipped_inputs_parse():
+    """Every shipped reference-workload inputs file parses into a valid
+    config with the reference's values (namelist-compat claim)."""
+    import os
+    from varden_tpu.config import load_config
+    base = os.path.join(os.path.dirname(__file__), "..", "inputs")
+    files = sorted(os.listdir(base))
+    assert len(files) >= 10
+    for f in files:
+        cfg = load_config(os.path.join(base, f))
+        assert cfg.dim_in in (2, 3), f
+    cfg = load_config(os.path.join(base, "inputs_3d-regt"))
+    assert (cfg.max_levs, cfg.n_cellx, cfg.visc_coef) == (3, 64, 0.001)
+    assert cfg.max_grid_size == 32 and cfg.cluster_min_eff == 0.9
+    cfg = load_config(os.path.join(base, "inputs_advect_3d"))
+    assert cfg.u_bc[0][0] == 1.0 and cfg.bcx_lo == 11 and cfg.bcx_hi == 12
+
+
+def test_probin_discovery(tmp_path, monkeypatch):
+    """CLI inputs-file lookup priority: $PROBIN > argv > ./inputs_varden
+    (reference probin.template:72-105)."""
+    import varden_tpu.__main__ as main_mod
+    seen = {}
+
+    def fake_load(path, **kw):
+        seen["path"] = path
+        raise SystemExit(0)  # stop before running the solver
+
+    monkeypatch.setattr("varden_tpu.config.load_config", fake_load)
+    f_env = tmp_path / "envfile"
+    f_env.write_text("&PROBIN\n dim_in = 2\n/\n")
+    f_arg = tmp_path / "argfile"
+    f_arg.write_text("&PROBIN\n dim_in = 2\n/\n")
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "inputs_varden").write_text("&PROBIN\n dim_in = 2\n/\n")
+
+    # priority 1: $PROBIN wins over argv and default
+    monkeypatch.setenv("PROBIN", str(f_env))
+    try:
+        main_mod.main([str(f_arg)])
+    except SystemExit:
+        pass
+    assert seen["path"] == str(f_env)
+    # priority 2: argv file
+    monkeypatch.delenv("PROBIN")
+    try:
+        main_mod.main([str(f_arg)])
+    except SystemExit:
+        pass
+    assert seen["path"] == str(f_arg)
+    # priority 3: ./inputs_varden fallback
+    try:
+        main_mod.main([])
+    except SystemExit:
+        pass
+    assert seen["path"] == "inputs_varden"

@@ -99,3 +99,46 @@ def test_3d_periodic():
     phi -= phi.mean()
     pe = phi_ex - phi_ex.mean()
     assert np.max(np.abs(phi - pe)) < 2e-2
+
+
+def test_bottom_solver_options():
+    """The honored mg_bottom_solver codes (FBoxLib: 0 smoothing, 1/3
+    BiCGStab, 2 CG) all converge the outer MG to the same tolerance as the
+    dense direct default (reference _parameters:55-57; the bottom solve
+    only needs bottom_solver_eps=1e-3, mac_multigrid.f90:56)."""
+    n = 32
+    dx, x = _grids(n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    phi_ex = np.sin(2 * np.pi * X) * np.cos(4 * np.pi * Y)
+    rhs = (4 * np.pi**2 + 16 * np.pi**2) * phi_ex
+    ell_bc = [(BC_PER, BC_PER)] * 2
+    aco = jnp.zeros((n, n))
+    beta = (jnp.ones((n + 1, n)), jnp.ones((n, n + 1)))
+    ref, _ = _solve((n, n), (dx, dx), ell_bc, aco, beta, rhs, rel_eps=1e-11)
+    ref -= ref.mean()
+    for method in ("cg", "bicgstab", "smoother"):
+        phi, rn = _solve((n, n), (dx, dx), ell_bc, aco, beta, rhs,
+                         rel_eps=1e-11, bottom=method)
+        assert rn < 1e-11 * np.max(np.abs(rhs)), method
+        phi -= phi.mean()
+        assert np.max(np.abs(phi - ref)) < 1e-9, method
+
+
+def test_bottom_solver_dirichlet_batched():
+    """CG/BiCGStab bottom solves handle a batched RHS (the batched
+    Helmholtz path) and non-singular operators."""
+    n = 32
+    dx, x = _grids(n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    phi_ex = np.sin(np.pi * X) * np.sin(np.pi * Y)
+    rhs0 = 2 * np.pi**2 * phi_ex
+    rhs = np.stack([rhs0, 2.0 * rhs0])
+    ell_bc = [(BC_DIR, BC_DIR)] * 2
+    aco = jnp.ones((n, n))
+    beta = (jnp.ones((n + 1, n)), jnp.ones((n, n + 1)))
+    ref, _ = _solve((n, n), (dx, dx), ell_bc, aco, beta, rhs,
+                    alpha=1.0, rel_eps=1e-11)
+    for method in ("cg", "bicgstab"):
+        phi, rn = _solve((n, n), (dx, dx), ell_bc, aco, beta, rhs,
+                         alpha=1.0, rel_eps=1e-11, bottom=method)
+        assert np.max(np.abs(phi - ref)) < 1e-9, method

@@ -104,3 +104,26 @@ def test_mg_solve_3d_periodic():
     err -= err.mean()
     assert float(rn) < 1e-9 * float(jnp.max(jnp.abs(rhs)))
     assert np.max(np.abs(err)) < 1e-7
+
+
+def test_nodal_bottom_solver_options():
+    """hg_bottom_solver codes converge the nodal MG like the dense default
+    (reference _parameters:56, hg_multigrid.f90:99)."""
+    n = 32
+    dx = 1.0 / n
+    rng = np.random.RandomState(3)
+    sigma = jnp.asarray(1.0 / (1.0 + rng.rand(n, n)))
+    xn = dx * np.arange(n)
+    X, Y = np.meshgrid(xn, xn, indexing="ij")
+    phi_ex = jnp.asarray(np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    levels = nodal.build_hierarchy([n, n], [dx, dx], [True, True], sigma, None)
+    rhs = nodal.nd_apply(levels[0], phi_ex)
+    ref, _ = nodal.solve((n, n), (dx, dx), (True, True), sigma, rhs,
+                         rel_eps=1e-11)
+    ref = np.asarray(ref) - np.asarray(ref).mean()
+    for method in ("cg", "bicgstab", "smoother"):
+        phi, rn = nodal.solve((n, n), (dx, dx), (True, True), sigma, rhs,
+                              rel_eps=1e-11, bottom=method)
+        assert float(rn) < 1e-11 * float(jnp.max(jnp.abs(rhs))), method
+        phi = np.asarray(phi) - np.asarray(phi).mean()
+        assert np.max(np.abs(phi - ref)) < 1e-9, method

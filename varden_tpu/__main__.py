@@ -1,11 +1,15 @@
 """Program entry: the reference's main program (src/main.f90:1-56).
 
 Usage:
-    python -m varden_tpu inputs_file [--key value ...]
+    python -m varden_tpu [inputs_file] [--key value ...]
 
 Reads a reference-format &PROBIN namelist, applies --key value command-line
 overrides (probin.template:107-126), runs the simulation, and reports total
 wall time and device memory statistics (main.f90:31-52 equivalents).
+
+The inputs file is located with the reference's 3-way priority
+(probin.template:72-105): the $PROBIN environment variable, then the first
+non-flag command-line argument, then ./inputs_varden.
 """
 from __future__ import annotations
 
@@ -24,12 +28,23 @@ if os.environ.get("JAX_PLATFORMS"):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    if not argv:
+    # Inputs-file discovery priority (probin.template:72-105):
+    # $PROBIN env var > first non-flag argument > ./inputs_varden.
+    path = None
+    if argv and not argv[0].startswith("-"):
+        path = argv[0]
+        argv = argv[1:]
+    env = os.environ.get("PROBIN")
+    if env:
+        path = env
+    elif path is None and os.path.exists("inputs_varden"):
+        path = "inputs_varden"
+    if path is None:
         print(__doc__)
+        print("error: no inputs file ($PROBIN, argument, or ./inputs_varden)")
         return 1
-    path = argv[0]
     overrides = {}
-    i = 1
+    i = 0
     while i < len(argv):
         key = argv[i].lstrip("-")
         val = argv[i + 1]

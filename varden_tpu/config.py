@@ -203,21 +203,21 @@ class VardenConfig:
         for d, (lo, hi) in enumerate(self.phys_bc):
             if (lo == PERIODIC) != (hi == PERIODIC):
                 raise ValueError(f"periodicity must match on both sides of dim {d}")
-        # accepted-but-repurposed knobs: the native MG always uses a dense
-        # direct bottom solve (one MXU solve — strictly dominates the
-        # reference's iterative options at bottom sizes), so the bottom-
-        # solver selectors are explicitly acknowledged rather than silently
-        # ignored (reference _parameters:51-57)
+        # bottom-solver selectors are honored (FBoxLib codes: 0 smoothing,
+        # 1/3 BiCGStab, 2 CG; -1/4 the native dense direct MXU solve, which
+        # strictly dominates the iterative options at bottom sizes on TPU)
         import warnings
-        if self.mg_bottom_solver not in (-1, 0, 1):
-            warnings.warn("mg_bottom_solver=%d requested; native MG uses a "
-                          "dense direct bottom solve" % self.mg_bottom_solver)
-        if self.hg_bottom_solver not in (-1, 0, 1):
-            warnings.warn("hg_bottom_solver=%d requested; native MG uses a "
-                          "dense direct bottom solve" % self.hg_bottom_solver)
+        from .solvers.mg import BOTTOM_METHODS
+        if self.mg_bottom_solver not in BOTTOM_METHODS:
+            warnings.warn("unknown mg_bottom_solver=%d; using the dense "
+                          "direct bottom solve" % self.mg_bottom_solver)
+        if self.hg_bottom_solver not in BOTTOM_METHODS:
+            warnings.warn("unknown hg_bottom_solver=%d; using the dense "
+                          "direct bottom solve" % self.hg_bottom_solver)
         if self.cg_verbose > 0:
-            warnings.warn("cg_verbose has no effect: there is no Krylov "
-                          "bottom solver in the native MG path")
+            warnings.warn("cg_verbose has no effect: the Krylov bottom "
+                          "solvers run inside jitted loops (no per-iteration "
+                          "prints)")
         return self
 
 

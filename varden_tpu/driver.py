@@ -39,6 +39,7 @@ class Varden:
         }
         self._hints = None
         self._ml_hints = None     # per-level projection warm starts
+        self.bench_async = False  # benchmark mode: never sync dt to host
         self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
         self._initial_proj = jax.jit(self._initial_projection_impl)
         # first-class multi-chip: state lives sharded over a device mesh
@@ -75,6 +76,19 @@ class Varden:
             self._ml_cache[key] = jax.jit(
                 lambda states, dt, hints, _g=geom, _pt=proj_type:
                     advance_ml.ml_advance(_g, states, dt, _pt, hints=hints))
+        return self._ml_cache[key]
+
+    def _ml_estdt_fn(self):
+        """Jitted per-geometry dt estimate: the eager per-level reduction is
+        dozens of small dispatches (estdt.f90:15-87 equivalent), which
+        dominates small AMR steps on dispatch-latency-bound hosts."""
+        from .amr import advance_ml
+        key = (self.geom.key(), "estdt")
+        if key not in self._ml_cache:
+            geom = self.geom
+            self._ml_cache[key] = jax.jit(
+                lambda states, dtold, _g=geom:
+                    advance_ml.ml_estdt(_g, states, dtold))
         return self._ml_cache[key]
 
     def _zero_ml_hints(self):
@@ -129,7 +143,7 @@ class Varden:
                               p=jnp.zeros_like(p[l]))
                         for l in range(len(states))]
             states = jax.jit(iproj)(states)
-        dt = float(advance_ml.ml_estdt(self.geom, states,
+        dt = float(self._ml_estdt_fn()(states,
                                        jnp.asarray(-1.0, self.sim.dtype)))
         self.dt = dt * cfg.init_shrink
         if cfg.fixed_dt > 0.0:
@@ -170,13 +184,20 @@ class Varden:
                     regrid_mod.write_grids(cfg.grids_file_name, self.geom,
                                            self.istep)
         if self.istep > 1:
-            from .amr import advance_ml
             dtold = self.dt
-            self.dt = float(advance_ml.ml_estdt(
-                self.geom, states, jnp.asarray(dtold, self.sim.dtype)))
+            dt_new = self._ml_estdt_fn()(
+                states, jnp.asarray(dtold, self.sim.dtype))
+            if self.bench_async:
+                # benchmark mode: keep dt as a device scalar so the step
+                # loop never blocks on a host round-trip (the tunneled-TPU
+                # sync costs ~30 ms — it would dominate a 2-D AMR step)
+                self.dt = dt_new
+            else:
+                self.dt = float(dt_new)
             if cfg.fixed_dt > 0.0:
                 self.dt = cfg.fixed_dt
-            if cfg.stop_time >= 0.0 and self.time + self.dt > cfg.stop_time:
+            if cfg.stop_time >= 0.0 and not self.bench_async and \
+                    self.time + self.dt > cfg.stop_time:
                 self.dt = cfg.stop_time - self.time
         if self._ml_hints is None:
             self._ml_hints = self._zero_ml_hints()
@@ -188,6 +209,8 @@ class Varden:
                           "phi_hg_prev": self._ml_hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
+        if self.bench_async:
+            return states  # no banner / health pull: both force a host sync
         self._check_solver_health(diag)
         print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
               f"DT = {self.dt:14.9f}  (levels: "

@@ -78,7 +78,8 @@ def macproject(sim: Sim, umac: Tuple[jnp.ndarray, ...], rho: jnp.ndarray,
     with jax.named_scope("mac_solve"):
         phi, (mac_rn, _iters, mac_ratio) = mg.solve(
             n, dx, ell_bc, aco, beta, rhs, alpha=0.0,
-            phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0, return_info=True)
+            phi0=phi0, rel_eps=rel_eps, abs_eps=-1.0, return_info=True,
+            bottom=sim.mg_bottom)
 
     # subtract beta * grad(phi) on every face; the BC-aware ghost pad makes
     # the 2-point difference realize the one-sided boundary gradient that the
@@ -155,7 +156,8 @@ def hgproject(sim: Sim, proj_type: int, unew: jnp.ndarray, uold: jnp.ndarray,
     with jax.named_scope("hg_solve"):
         phi, (hg_rn, _iters, hg_ratio) = nodal.solve(
             n, dx, pmask, sigma, rhs, mask=mask, phi0=phi0,
-            rel_eps=rel_eps, abs_eps=abs_eps, return_info=True)
+            rel_eps=rel_eps, abs_eps=abs_eps, return_info=True,
+            bottom=sim.hg_bottom)
     gphi = nodal.cell_grad(phi, dx, pmask, dm)
 
     # hg_update (hgproject.f90:581-634)
@@ -243,7 +245,8 @@ def visc_solve(sim: Sim, unew: jnp.ndarray, lapu: jnp.ndarray,
         with jax.named_scope("visc_solve"):
             phi, _ = mg.solve(n, dx, ell_bc, jnp.asarray(rho), beta,
                               jnp.stack(rhs_list), alpha=1.0, bvals=bvals,
-                              phi0=unew, rel_eps=rel_eps, abs_eps=-1.0)
+                              phi0=unew, rel_eps=rel_eps, abs_eps=-1.0,
+                              bottom=sim.mg_bottom)
         return phi
     out = []
     for d in range(dm):
@@ -251,7 +254,8 @@ def visc_solve(sim: Sim, unew: jnp.ndarray, lapu: jnp.ndarray,
         with jax.named_scope("visc_solve"):
             phi, _ = mg.solve(n, dx, ell_bc, jnp.asarray(rho), beta,
                               rhs_list[d], alpha=1.0, bvals=bvals,
-                              phi0=unew[d], rel_eps=rel_eps, abs_eps=-1.0)
+                              phi0=unew[d], rel_eps=rel_eps, abs_eps=-1.0,
+                              bottom=sim.mg_bottom)
         out.append(phi)
     return jnp.stack(out)
 
@@ -276,7 +280,7 @@ def diff_scalar_solve(sim: Sim, snew: jnp.ndarray, laps: jnp.ndarray,
         with jax.named_scope("diff_solve"):
             phi, _ = mg.solve(n, dx, ell_bc, aco, beta, rh, alpha=1.0,
                               bvals=bvals, phi0=snew[i], rel_eps=rel_eps,
-                              abs_eps=-1.0)
+                              abs_eps=-1.0, bottom=sim.mg_bottom)
         out.append(phi)
     return jnp.stack(out)
 

@@ -417,6 +417,121 @@ def _max_sp(x):
     return jnp.max(jnp.abs(x))
 
 
+# Bottom-solver selection, honoring the reference's mg_bottom_solver /
+# hg_bottom_solver integer codes (_parameters:55-57; FBoxLib mg_tower:
+# 0 = smoothing sweeps, 1/3 = BiCGStab, 2 = CG). -1 (default) picks the
+# dense direct MXU solve, which strictly dominates the iterative options at
+# bottom sizes on TPU — the Krylov paths exist for knob parity and as a
+# fallback, converging to the reference's bottom_solver_eps = 1e-3
+# (mac_multigrid.f90:56).
+BOTTOM_METHODS = {-1: "dense", 0: "smoother", 1: "bicgstab", 2: "cg",
+                  3: "bicgstab", 4: "dense"}
+BOTTOM_EPS = 1.0e-3
+BOTTOM_MAX_ITER = 100
+
+
+def _krylov_bottom(apply_fn, r, spatial_axes, method,
+                   eps=BOTTOM_EPS, max_iter=BOTTOM_MAX_ITER):
+    """Matrix-free CG / BiCGStab on the bottom level, batched over any
+    leading axes of ``r`` (per-batch step lengths, joint max-norm stop)."""
+    def dot(a, b):
+        return jnp.sum(a * b, axis=spatial_axes, keepdims=True)
+
+    def rmax(rr):
+        return jnp.max(jnp.abs(rr))
+
+    def relem(rr):
+        # per-batch-element residual max-norm (keepdims for broadcasting)
+        return jnp.max(jnp.abs(rr), axis=spatial_axes, keepdims=True)
+
+    tiny = jnp.asarray(jnp.finfo(r.dtype).tiny, r.dtype)
+    tol = eps * rmax(r)
+    x0 = jnp.zeros_like(r)
+
+    if method == "cg":
+        def cond(c):
+            _, rr, _, _, k = c
+            return jnp.logical_and(k < max_iter, rmax(rr) > tol)
+
+        def body(c):
+            x, rr, p, rs, k = c
+            ap = apply_fn(p)
+            alpha = rs / jnp.maximum(dot(p, ap), tiny)
+            x = x + alpha * p
+            rr = rr - alpha * ap
+            rs2 = dot(rr, rr)
+            p = rr + (rs2 / jnp.maximum(rs, tiny)) * p
+            return x, rr, p, rs2, k + 1
+
+        x, *_ = jax.lax.while_loop(
+            cond, body, (x0, r, r, dot(r, r), jnp.array(0)))
+        return x
+
+    # BiCGStab (FBoxLib's default bottom solver). Batch elements that have
+    # already converged are FROZEN (the recurrences break down — 0/0 in
+    # rho/omega — once a residual hits exact zero while other elements of
+    # the joint while_loop still iterate).
+    r0h = r
+
+    def cond(c):
+        _, rr, *_rest, k = c
+        return jnp.logical_and(k < max_iter, rmax(rr) > tol)
+
+    def safe(d):
+        # sign-preserving zero guard: BiCGStab denominators (rho, omega,
+        # <r0h,v>) are legitimately negative; clamping with max() flips
+        # them to +tiny and blows the recurrence up
+        return jnp.where(jnp.abs(d) > tiny, d,
+                         jnp.where(d >= 0.0, tiny, -tiny))
+
+    def body(c):
+        x, rr, p, v, rho, alpha, omega, k = c
+        live = relem(rr) > tol
+        rho2 = dot(r0h, rr)
+        beta = (rho2 / safe(rho)) * (alpha / safe(omega))
+        p2 = rr + beta * (p - omega * v)
+        v2 = apply_fn(p2)
+        alpha2 = rho2 / safe(dot(r0h, v2))
+        s = rr - alpha2 * v2
+        t = apply_fn(s)
+        omega2 = dot(t, s) / safe(dot(t, t))
+        x2 = x + alpha2 * p2 + omega2 * s
+        rr2 = s - omega2 * t
+        frz = lambda new, old: jnp.where(live, new, old)
+        return (frz(x2, x), frz(rr2, rr), frz(p2, p), frz(v2, v),
+                frz(rho2, rho), frz(alpha2, alpha), frz(omega2, omega), k + 1)
+
+    one = jnp.ones_like(dot(r, r))
+    x, *_ = jax.lax.while_loop(
+        cond, body,
+        (x0, r, jnp.zeros_like(r), jnp.zeros_like(r), one, one, one,
+         jnp.array(0)))
+    return x
+
+
+def bottom_solve(level: CCLevel, r, singular: bool, method: str = "dense"):
+    """Bottom-solver dispatch (see BOTTOM_METHODS)."""
+    if method == "dense":
+        return bottom_dense_solve(level, r, singular)
+    zero_bv = [[0.0, 0.0]] * level.dm
+    if method == "smoother":
+        # FBoxLib bottom_solver=0: a fixed budget of smoothing sweeps
+        return gsrb(level, jnp.zeros_like(r), r, zero_bv, 10)
+    spatial = tuple(range(r.ndim - level.dm, r.ndim))
+
+    def apply_fn(x):
+        y = cc_apply(level, x, zero_bv)
+        if singular:
+            # same rank-1 regularization as the dense path: A + J/N keeps
+            # the operator SPD on the mean-free complement
+            y = y + _mean_sp(x, level.dm)
+        return y
+
+    if singular:
+        r = r - _mean_sp(r, level.dm)
+    return _krylov_bottom(apply_fn, r, spatial, method)
+
+
 def bottom_dense_solve(level: CCLevel, r, singular: bool):
     """Direct bottom solve: materialize the (tiny) coarsest operator by a
     vmapped application to the identity and solve densely — one MXU solve
@@ -445,7 +560,7 @@ def bottom_dense_solve(level: CCLevel, r, singular: bool):
 
 def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
             nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, singular=False,
-            return_resnorm=False):
+            return_resnorm=False, bottom="dense"):
     """One V-cycle. With return_resnorm, also returns the max-norm of the
     post-pre-smooth fine residual — computed anyway for the restriction, so
     the outer tolerance loop gets a convergence monitor with no extra
@@ -456,7 +571,7 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
         r = rhs - cc_apply(level, phi, bv)
         if singular:
             r = r - _mean_sp(r, level.dm)
-        out = phi + bottom_dense_solve(level, r, singular)
+        out = phi + bottom_solve(level, r, singular, bottom)
         return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = gsrb(level, phi, rhs, bv, nu1)
     fac = level.cfac if level.cfac is not None else (2,) * level.dm
@@ -477,7 +592,8 @@ def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
         crs = _cell_avg_down(res, level.dm, fac)
         rmax = jnp.max(jnp.abs(res))
     corr = jnp.zeros_like(crs)
-    corr = v_cycle(levels, corr, crs, bvals, lev + 1, nu1, nu2, singular)
+    corr = v_cycle(levels, corr, crs, bvals, lev + 1, nu1, nu2, singular,
+                   bottom=bottom)
     # piecewise-constant prolongation (only the coarsened axes)
     for d in range(level.dm):
         if fac[d] == 1:
@@ -498,7 +614,8 @@ def is_singular(ell_bc, alpha) -> bool:
 
 def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
           rel_eps=1.0e-12, abs_eps=-1.0, max_cycles=DEFAULT_MAX_CYCLES,
-          nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, return_info=False):
+          nu1=DEFAULT_NU1, nu2=DEFAULT_NU2, return_info=False,
+          bottom="dense"):
     """Solve (alpha*aco - div beta grad) phi = rhs. Returns (phi, resnorm).
 
     Mirrors the solver interface of the reference's mac_multigrid.f90:53-62
@@ -673,7 +790,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
         def ibody(c):
             p, kk, mon, _, tl = c
             p, mon2 = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
-                              return_resnorm=True)
+                              return_resnorm=True, bottom=bottom)
             return p, kk + 1, mon2, mon, tl
 
         def ocond(carry):
@@ -685,7 +802,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
             p, k, rn_prev, _ = carry
             tl = tol_eff(p)
             p, mon = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
-                             return_resnorm=True)
+                             return_resnorm=True, bottom=bottom)
             p, k, mon, _, _ = jax.lax.while_loop(
                 icond, ibody, (p, k + 1, mon, big, tl))
             rn = resnorm(p)

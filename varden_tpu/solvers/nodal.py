@@ -431,6 +431,35 @@ def node_shape(n, pmask):
     return tuple(nd if p else nd + 1 for nd, p in zip(n, pmask))
 
 
+def bottom_solve(level: NodalLevel, r, method: str = "dense"):
+    """Bottom-solver dispatch honoring the reference's hg_bottom_solver
+    codes (see mg.BOTTOM_METHODS): dense direct (default), smoothing
+    sweeps, or matrix-free CG/BiCGStab at bottom_solver_eps=1e-3."""
+    if method == "dense":
+        return bottom_dense_solve(level, r)
+    if method == "smoother":
+        return jacobi(level, jnp.zeros_like(r), r, 10)
+    from . import mg as _mg
+    spatial = tuple(range(r.ndim - level.dm, r.ndim))
+
+    def apply_fn(x):
+        if level.mask is None:
+            # rank-1 regularization along the constant null space (the
+            # dense path's A + J/N), keeping the operator SPD on the
+            # mean-free complement
+            return nd_apply(level, x) + jnp.mean(x)
+        return nd_apply(level, x) * level.mask
+
+    if level.mask is None:
+        r = r - jnp.mean(r)
+    else:
+        r = r * level.mask
+    out = _mg._krylov_bottom(apply_fn, r, spatial, method)
+    if level.mask is not None:
+        out = out * level.mask
+    return out
+
+
 def bottom_dense_solve(level: NodalLevel, r):
     """Direct dense bottom solve via a vmapped operator application — one MXU
     solve instead of a sequential Krylov loop (TPU latency)."""
@@ -456,14 +485,14 @@ def bottom_dense_solve(level: NodalLevel, r):
 
 
 def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2,
-            return_resnorm=False):
+            return_resnorm=False, bottom="dense"):
     """One V-cycle. With return_resnorm, also returns the max-norm of the
     post-pre-smooth fine residual (computed anyway for the restriction) so
     the outer tolerance loop needs no extra operator application."""
     level = levels[lev]
     if lev == len(levels) - 1:
         r = rhs - nd_apply(level, phi)
-        out = phi + bottom_dense_solve(level, r)
+        out = phi + bottom_solve(level, r, bottom)
         return (out, jnp.max(jnp.abs(r))) if return_resnorm else out
     phi = jacobi(level, phi, rhs, nu1)
     if level.mask is None:
@@ -477,7 +506,7 @@ def v_cycle(levels, phi, rhs, lev=0, nu1=DEFAULT_NU1, nu2=DEFAULT_NU2,
     if nxt.mask is not None:
         crs_rhs = crs_rhs * nxt.mask
     corr = jnp.zeros_like(crs_rhs)
-    corr = v_cycle(levels, corr, crs_rhs, lev + 1, nu1, nu2)
+    corr = v_cycle(levels, corr, crs_rhs, lev + 1, nu1, nu2, bottom=bottom)
     fine_ns = node_shape(level.n, level.pmask)
     corr_f = _prolong(corr, fine_ns, level.pmask, level.dm)
     if level.mask is not None:
@@ -570,7 +599,7 @@ def cell_grad(phi, dx, pmask, dm):
 
 def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
           rel_eps=1.0e-11, abs_eps=-1.0, max_cycles=DEFAULT_MAX_CYCLES,
-          return_info=False):
+          return_info=False, bottom="dense"):
     """Solve A(sigma) phi = rhs on the node lattice. Returns (phi, resnorm)."""
     dm = len(n)
     singular = mask is None
@@ -627,7 +656,8 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
 
         def ibody(c):
             p, kk, mon, _, tl = c
-            p, mon2 = v_cycle(levels, p, rhs, return_resnorm=True)
+            p, mon2 = v_cycle(levels, p, rhs, return_resnorm=True,
+                              bottom=bottom)
             return p, kk + 1, mon2, mon, tl
 
         def ocond(carry):
@@ -638,7 +668,8 @@ def solve(n, dx, pmask, sigma, rhs, *, mask=None, phi0=None,
         def obody(carry):
             p, k, rn, _ = carry
             tl = tol_eff(p)
-            p, mon = v_cycle(levels, p, rhs, return_resnorm=True)
+            p, mon = v_cycle(levels, p, rhs, return_resnorm=True,
+                             bottom=bottom)
             p, k, mon, _, _ = jax.lax.while_loop(
                 icond, ibody, (p, k + 1, mon, big, tl))
             return p, k, resnorm(p), mon > tl

@@ -54,6 +54,11 @@ class Sim:
         self.press_comp = self.dm + self.nscal
         self.extrap_comp = self.dm + self.nscal + 1
         self.dtype = cfg.jnp_dtype
+        # bottom-solver selection, honoring the reference's integer codes
+        # (mg_bottom_solver/hg_bottom_solver, _parameters:55-57)
+        from .solvers.mg import BOTTOM_METHODS
+        self.mg_bottom = BOTTOM_METHODS.get(cfg.mg_bottom_solver, "dense")
+        self.hg_bottom = BOTTOM_METHODS.get(cfg.hg_bottom_solver, "dense")
 
     # component-indexed helpers -------------------------------------------
     def eps(self, f64_val: float) -> float:

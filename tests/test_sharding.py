@@ -125,3 +125,29 @@ def test_driver_mesh_mode_two_level():
     assert v1.geom.key() == v8.geom.key()
     for a, b in zip(st1, st8):
         _assert_state_close(a, b, 1e-12)
+
+
+def test_mesh_aware_clustering_partitions_fine_patch():
+    """Mesh runs must shard FINE patches too: the regridder's mesh-aware
+    extent quantization (amr/regrid._nest_into) makes adaptive patch
+    extents divide the mesh axes, so _even_cell_spec partitions them
+    instead of silently replicating (the reference's max_grid_size
+    quantization keeps every level's boxes distributable,
+    initialize.f90:200). Asserts on the actual sharding spec."""
+    import warnings
+    from varden_tpu.driver import Varden
+    base = dict(dim_in=2, prob_type=1, n_cellx=32, n_celly=32, max_levs=2,
+                regrid_int=-1, max_step=1, init_iter=0, grav=-9.8,
+                bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15,
+                cflfac=0.9, init_shrink=0.1, dtype="float64", mesh=8)
+    v8 = Varden(VardenConfig(**base))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no replication warnings allowed
+        st8 = v8.run()
+    assert len(st8) >= 2, "config must produce a fine patch"
+    mesh_axes = dict(zip(v8.mesh.axis_names, v8.mesh.devices.shape))
+    for lvl, st in enumerate(st8[1:], start=1):
+        spec = st.u.sharding.spec
+        sharded = [ax for ax in spec if ax is not None]
+        assert sharded, (f"fine patch {lvl} (extent {st.u.shape[1:]}) is "
+                         f"fully replicated on mesh {mesh_axes}")

@@ -168,12 +168,30 @@ def _child_boxes(sim: Sim, tags: np.ndarray, tag_spec: LevelSpec, buf: int):
     return out
 
 
+def _mesh_quanta(sim: Sim):
+    """Per-axis extent quanta for mesh runs: a patch axis only shards when
+    its extent divides the mesh axis size (parallel/mesh._even_cell_spec),
+    so when cfg.mesh > 0 the regridder aligns extents to lcm(2, mesh_axis)
+    — the sharding analogue of the reference's max_grid_size/blocking
+    quantization (initialize.f90:200). Returns None off-mesh."""
+    if sim.cfg.mesh <= 0:
+        return None
+    import math
+    from ..parallel.mesh import mesh_shape
+    shape = mesh_shape(sim.cfg.mesh)
+    return [math.lcm(2, shape[d]) if d < len(shape) else 1
+            for d in range(sim.dm)]
+
+
 def _nest_into(sim: Sim, lo_f, hi_f, parent: LevelSpec, parent_depth: int):
     """Clip a fine-space box to nest NEST_BUFFER coarse cells inside its
     parent patch (flush sides at the domain boundary are exempt); returns a
-    LevelSpec or None if the clip empties it."""
+    LevelSpec or None if the clip empties it. On mesh runs, extents snap to
+    mesh-divisible sizes (growing within the nesting window when possible,
+    shrinking otherwise) so fine patches actually shard."""
     dm = sim.dm
     dn_parent = [s * 2 ** parent_depth for s in sim.n_cell]
+    quanta = _mesh_quanta(sim)
     lo, hi = [], []
     for d in range(dm):
         dn_f = 2 * dn_parent[d]
@@ -188,6 +206,20 @@ def _nest_into(sim: Sim, lo_f, hi_f, parent: LevelSpec, parent_depth: int):
             h = min(max(h, mid + QUANT), ph, dn_f)
         if h - l <= 0:
             return None
+        if quanta is not None and quanta[d] > 1 and (h - l) % quanta[d]:
+            q = quanta[d]
+            want = -((-(h - l)) // q) * q     # round extent up to q
+            # grow toward hi, then lo, inside the nesting window; else shrink
+            h2 = min(l + want, ph, dn_f)
+            l2 = max(h2 - want, pl, 0)
+            # q is even and every bound is even, so alignment keeps the
+            # ratio-2 even-index invariant automatically
+            if (h2 - l2) % q == 0 and h2 - l2 > 0:
+                l, h = l2, h2
+            else:
+                w = ((h - l) // q) * q
+                if w > 0:
+                    h = l + w
         lo.append(l)
         hi.append(h)
     return LevelSpec(tuple(lo), tuple(h - l for l, h in zip(lo, hi)))

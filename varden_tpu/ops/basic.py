@@ -52,7 +52,7 @@ def update(sold: jnp.ndarray, umac: Sequence[jnp.ndarray],
     nc = sold.shape[0]
     if dm == 3:
         from . import pallas_kernels as pk
-        if pk.update_supported(sold.shape[1:], sold.dtype):
+        if pk.update_supported(sold.shape[1:], sold.dtype, nc):
             # fused single-pass kernel; alias operand groups a pure
             # convective/conservative call never reads
             sedge_in = flux if all(is_conservative) else sedge

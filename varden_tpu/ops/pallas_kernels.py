@@ -686,14 +686,41 @@ def _update_kernel_3d(scal_ref, sold_ref, f_ref, ux_ref, uy_ref, uz_ref,
     out_ref[...] = jnp.stack(outs)
 
 
-def update_supported(n, dtype) -> bool:
+def _update_tx(n, nc):
+    """Largest x tile whose VMEM block set fits the scoped budget.
+
+    The binding constraint at large extents is LANE PADDING: a z-face
+    block's (n2+1) lane extent rounds up to a 128 multiple (385 -> 512),
+    so the naive bytes model under-counts by up to 1.33x — this model
+    rounds sublane (second-minor) extents to 8 and lane (minor) extents
+    to 128 like Mosaic does, and budgets half the 100MB scoped limit for
+    the grid pipeline's double buffering."""
+    def pad(s):  # (sub, lane) padded plane size
+        return -(-s[-2] // 8) * 8 * (-(-s[-1] // 128) * 128)
+
+    def blk_bytes(tx):
+        cells = 2 * nc * tx * pad((n[1], n[2]))          # sold, force
+        out = nc * tx * pad((n[1], n[2]))
+        xf = (tx + 1) * pad((n[1], n[2]))
+        yf = tx * pad((n[1] + 1, n[2]))
+        zf = tx * pad((n[1], n[2] + 1))
+        faces = (xf + yf + zf) * (1 + 2 * nc)            # umac + sedge + flux
+        return (cells + out + faces) * 4
+
+    for tx in (8, 4, 2):
+        if n[0] % tx == 0 and blk_bytes(tx) <= 50 * 1024 * 1024:
+            return tx
+    return 0
+
+
+def update_supported(n, dtype, nc=4) -> bool:
     if os.environ.get("VARDEN_NO_PALLAS_UPDATE") or not HAVE_PALLAS:
         return False
     if jax.default_backend() != "tpu":
         return False
     if len(n) != 3 or dtype not in (jnp.float32, jnp.dtype("float32")):
         return False
-    return n[0] % 4 == 0 and min(n[1:]) >= 8
+    return min(n[1:]) >= 8 and _update_tx(n, nc) > 0
 
 
 def update_3d(sold, umac, sedge, flux, force, dt, dx, is_cons, *,
@@ -702,7 +729,7 @@ def update_3d(sold, umac, sedge, flux, force, dt, dx, is_cons, *,
     (nc, faces); umac[d]: (faces)."""
     nc = sold.shape[0]
     n = sold.shape[1:]
-    tx = 4 if n[0] % 4 == 0 else 2
+    tx = _update_tx(n, nc) if not interpret else (4 if n[0] % 4 == 0 else 2)
     nblk = n[0] // tx
     kern = functools.partial(
         _update_kernel_3d, dxi=tuple(1.0 / float(h) for h in dx),

@@ -20,18 +20,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..state import Sim, State
 
 
+def mesh_shape(n: int) -> Tuple[int, int]:
+    """The (mx, my) factoring make_mesh uses: as square as possible.
+    Exposed separately so the regridder can quantize patch extents to
+    mesh-divisible sizes without touching jax.devices()."""
+    mx = 1
+    for f in range(int(n ** 0.5), 0, -1):
+        if n % f == 0:
+            mx = f
+            break
+    return (mx, n // mx)
+
+
 def make_mesh(n_devices: Optional[int] = None, shape: Optional[Tuple[int, ...]] = None,
               axis_names: Tuple[str, ...] = ("x", "y")) -> Mesh:
     """A 2-D device mesh (mx, my); factors n_devices as square as possible."""
     devices = jax.devices()
     n = n_devices or len(devices)
     if shape is None:
-        mx = 1
-        for f in range(int(n ** 0.5), 0, -1):
-            if n % f == 0:
-                mx = f
-                break
-        shape = (mx, n // mx)
+        shape = mesh_shape(n)
     return Mesh(np.array(devices[:n]).reshape(shape), axis_names[:len(shape)])
 
 
@@ -117,11 +124,25 @@ def _even_cell_spec(sim: Sim, mesh: Mesh, shape, lead: int) -> P:
 def shard_ml_states(geom, states, mesh: Mesh):
     """device_put every patch's fields with spatial shardings — the
     reference distributes EVERY level's boxes over the same ranks
-    (varden.f90:273-300; box layouts are level-agnostic)."""
+    (varden.f90:273-300; box layouts are level-agnostic). Warns when a
+    patch axis is forced to replicate (extent does not divide the mesh
+    axis): that costs memory and scaling, and the regridder's mesh-aware
+    quantization (amr/regrid._nest_into) should normally prevent it."""
+    import warnings
     sim = geom.sim
+    sizes = _axis_sizes(mesh)
+    names = mesh.axis_names
     out = []
-    for st in states:
-        cell = NamedSharding(mesh, _even_cell_spec(sim, mesh, st.u.shape, 1))
+    for i, st in enumerate(states):
+        spec = _even_cell_spec(sim, mesh, st.u.shape, 1)
+        for d in range(sim.dm):
+            nm = names[d] if d < len(names) else None
+            if nm is not None and sizes[nm] > 1 and spec[1 + d] is None:
+                warnings.warn(
+                    f"patch {i} (extent {st.u.shape[1:]}) replicates on "
+                    f"mesh axis '{nm}' (size {sizes[nm]}): axis extent "
+                    f"{st.u.shape[1 + d]} is not mesh-divisible")
+        cell = NamedSharding(mesh, spec)
         node = NamedSharding(mesh, _node_spec(sim, mesh, st.p.shape))
         out.append(State(u=jax.device_put(st.u, cell),
                          s=jax.device_put(st.s, cell),

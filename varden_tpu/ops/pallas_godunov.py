@@ -46,6 +46,10 @@ NO_BC = frozenset()
 BC_Z = frozenset({(2, 0), (2, 1)})
 SLAB = 4        # boundary slab width (cells) >= override taint depth (~2)
 TY = int(os.environ.get("VARDEN_GODUNOV_TY", "8"))  # y tile (sublane multiple)
+# scoped-VMEM ceiling handed to Mosaic (v5e has 128 MiB VMEM; the default
+# compiler cap is 100 MiB — raising it buys bigger x tiles = less halo
+# recompute, at the cost of less double-buffering headroom)
+_VMEM_LIMIT = int(os.environ.get("VARDEN_VMEM_LIMIT_MB", "100")) * 1024 * 1024
 
 
 class _Plan:
@@ -289,7 +293,7 @@ def velpred_3d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
     scal = jnp.stack([jnp.asarray(dt, u.dtype), eps.astype(u.dtype)])
     pbc = tuple(tuple(b) for b in phys_bc)
     adv_t = tuple(tuple(tuple(a) for a in row) for row in adv_bc_vel)
-    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
     def call(u_in, f_in, ty, adv_k, bc_sides, yface, grid2):
         kern = functools.partial(
@@ -411,7 +415,7 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     umax = jnp.max(jnp.stack([jnp.max(jnp.abs(m.arr)) for m in macw]))
     eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
     scal = jnp.stack([jnp.asarray(dt, s.dtype), eps.astype(s.dtype)])
-    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     pbc = tuple(tuple(b) for b in phys_bc)
 
     # One kernel call PER COMPONENT: mkflux components are independent
@@ -589,7 +593,7 @@ def velpred_2d_fused(u, force, dt, dx, phys_bc, adv_bc_vel, ng, n_cell,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(u, force, scal)
 
@@ -638,6 +642,6 @@ def mkflux_2d_fused(s, umac_pad, vmac_pad, force, mac_rhs, dt, dx, phys_bc,
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(s, umac_pad, vmac_pad, force, mac_rhs, scal)

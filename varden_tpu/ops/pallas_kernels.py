@@ -28,6 +28,9 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
+# scoped-VMEM ceiling handed to Mosaic (see pallas_godunov._VMEM_LIMIT)
+_VMEM_LIMIT = int(os.environ.get("VARDEN_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+
 
 def _splice_interior_3d(phi, new_int):
     """Rebuild the haloed tile with ``new_int`` as interior and phi's ghost
@@ -437,7 +440,7 @@ def gsrb_const_sweep_3d(phi, rhs, inv_diag, coef, ell_bc, bvals,
         out_specs=pl.BlockSpec((1, tx, n[1], n[2]), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(jnp.asarray(coef, phi.dtype), phi, rhs, inv_diag, aco)
     return out
@@ -620,7 +623,7 @@ def gsrb_var_sweep_3d(phi, rhs, inv_diag, beta, dx, ell_bc, bvals,
         pl.BlockSpec((tx, n[1], n[2] + 1), lambda b, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     if emit == "restrict":
         out = pl.pallas_call(
             kern,
@@ -776,7 +779,7 @@ def update_3d(sold, umac, sedge, flux, force, dt, dx, is_cons, *,
                   xface(nc), yface(nc), zface(nc)],
         out_specs=cell(nc),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(scal, sold, force, umac[0], umac[1], umac[2],
       sedge[0], sedge[1], sedge[2], flux[0], flux[1], flux[2])

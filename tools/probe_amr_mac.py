@@ -191,3 +191,83 @@ t, _ = timed(pads_only, phi_warm, reps=20)
 print(f"pad_phi both levels: {1e3 * t:.3f} ms")
 t, _ = timed(resid_full, phi_warm, reps=20)
 print(f"composite residuals(): {1e3 * t:.3f} ms")
+
+# ---- in-program differencing: chain K reps inside ONE jit (the separately
+# jitted timings above are swamped by ~1.5 ms/dispatch tunnel overhead)
+import functools as _ft
+
+
+def chain(fn, k):
+    @jax.jit
+    def run(x0, r):
+        def body(i, x):
+            y = fn(x, r)
+            # data-dependence chain so XLA cannot collapse the loop
+            return y
+        return jax.lax.fori_loop(0, k, body, x0)
+    return run
+
+
+def diff_time(label, fn, x0, r, k1=2, k2=12):
+    f1, f2 = chain(fn, k1), chain(fn, k2)
+    t1, _ = timed(f1, x0, r, reps=8)
+    t2, _ = timed(f2, x0, r, reps=8)
+    ms = (t2 - t1) / (k2 - k1) * 1e3
+    print(f"{label}: {ms:.3f} ms (in-program)", flush=True)
+
+
+diff_time("v_cycle fine 80^3", lambda x, r: mg.v_cycle(hiers[1], x, r, bv),
+          z1, rhs_l[1])
+diff_time("v_cycle coarse 64^3", lambda x, r: mg.v_cycle(hiers[0], x, r, bv),
+          z0, rhs_l[0])
+
+
+def pads_step(phis, _r):
+    pads = [pad_phi(geom, l, list(phis), ell0, bv, ng=1) for l in range(nlev)]
+    crop = [p[tuple([slice(1, -1)] * dm)] for p in pads]
+    return tuple(crop)
+
+
+diff_time("pad_phi both", lambda x, r: pads_step(x, r), tuple(phi_warm), None)
+
+
+def resid_step(phis, _r):
+    res = resid_full_impl(list(phis))
+    return tuple(res)
+
+
+def resid_full_impl(phis):
+    pads = [pad_phi(geom, l, phis, ell0, bv, ng=1) for l in range(nlev)]
+    res = [rhs_l[l] - mg.apply_padded(pads[l], aco_l[l], beta_l[l],
+                                      0.0, geom.dx(l), dm)
+           for l in range(nlev)]
+    from varden_tpu.amr.solve import _reflux_correct, covered_slice_rel
+    from varden_tpu.amr.hierarchy import restrict_cells
+    for c in range(nlev - 1, 0, -1):
+        p = geom.parent[c]
+        res[p] = _reflux_correct(geom, c, res[p], pads[p], pads[c],
+                                 beta_l[p], beta_l[c])
+        cov = covered_slice_rel(geom, c)
+        res[p] = res[p].at[cov].set(restrict_cells(res[c], dm))
+    return res
+
+
+diff_time("composite residuals", resid_step, tuple(phi_warm), None)
+
+# GSRB sweeps alone at each MG level of the fine hierarchy
+for li, lv in enumerate(hiers[1]):
+    zz = jnp.zeros(lv.n, sim.dtype)
+    diff_time(f"gsrb x2 at {lv.n}",
+              _ft.partial(lambda lvv, x, r: mg.gsrb(lvv, x, r, bv, 2), lv),
+              zz, zz, k1=2, k2=22)
+
+# ---- cycle-strength variants (nv_fine, nv_coarse): outer count vs wall
+for nvf, nvc in ((1, 1), (1, 2), (2, 1), (2, 2)):
+    f = jax.jit(_ft.partial(
+        lambda rhs, aco, beta, p0, _nf, _nc: amr_solve.composite_cc_solve(
+            geom, sim.press_comp, rhs, aco, beta, 0.0, phi0_l=p0,
+            rel_eps=sim.eps(1.0e-10), return_info=True,
+            nv_fine=_nf, nv_coarse=_nc), _nf=nvf, _nc=nvc))
+    t, (phis, (rn, iters, ratio)) = timed(f, rhs_l, aco_l, beta_l, zeros)
+    print(f"nv=({nvf},{nvc}): {1e3 * t:.2f} ms  iters={int(iters)} "
+          f"rn={float(rn):.3e}", flush=True)

@@ -111,9 +111,40 @@ def pad_phi(geom: MLGeom, lev: int, phis, ell_bc_phys, bvals,
     return out
 
 
+def pad_corr(geom: MLGeom, lev: int, phi, ell_bc_phys,
+             ng: int = 1) -> jnp.ndarray:
+    """Cheap pad for CORRECTION-cycle defect math: coarse-fine ghosts are
+    ZERO (the parent correction is still zero on the composite down pass),
+    physical sides use the homogeneous solver-BC slabs, periodic wraps.
+    Skips pad_phi's parent-prolong chain entirely."""
+    dm = geom.dm
+    out = phi
+    for d in range(dm):
+        axis = out.ndim - dm + d
+        pw = [(0, 0)] * out.ndim
+        pw[axis] = (ng, ng)
+        lo_k = geom.side_kind(lev, d, 0) if lev > 0 else (
+            "per" if geom.sim.pmask[d] else "phys")
+        hi_k = geom.side_kind(lev, d, 1) if lev > 0 else lo_k
+        fint = out
+
+        def slab(side, kind):
+            if kind == "cf":
+                shp = list(fint.shape)
+                shp[axis] = ng
+                return jnp.zeros(shp, fint.dtype)
+            return _solver_slab(fint, axis, side, ng, kind,
+                                ell_bc_phys[d][side], 0.0)
+
+        out = jnp.concatenate([slab(0, lo_k), out, slab(1, hi_k)], axis=axis)
+    return out
+
+
 def _reflux_correct(geom: MLGeom, ci, res_c, pad_c, pad_f, beta_c, beta_f):
     """Replace the coarse flux with the averaged fine flux in the coarse
-    residual at coarse-fine faces of child node ``ci`` (flux registers)."""
+    residual at coarse-fine faces of child node ``ci`` (flux registers).
+    pad_c=None means the coarse field is identically zero (correction
+    down pass): the coarse flux term is skipped."""
     dm = geom.dm
     child = geom.specs[ci]
     par = geom.parent[ci]
@@ -129,10 +160,13 @@ def _reflux_correct(geom: MLGeom, ci, res_c, pad_c, pad_f, beta_c, beta_f):
             face_c = cl[d] if side == 0 else ch[d]   # coarse face plane index
             # coarse flux across the plane: beta * (phi[face]-phi[face-1])/dxc
             # from the coarse padded array (pad offset +1)
-            lo_cell = _slab_cell(pad_c, d, dm, face_c - 1 + 1, cl, ch)
-            hi_cell = _slab_cell(pad_c, d, dm, face_c + 1, cl, ch)
-            Fc = _beta_plane(beta_c, d, dm, face_c, cl, ch) * \
-                (hi_cell - lo_cell) / dxc[d]
+            if pad_c is None:
+                Fc = 0.0
+            else:
+                lo_cell = _slab_cell(pad_c, d, dm, face_c - 1 + 1, cl, ch)
+                hi_cell = _slab_cell(pad_c, d, dm, face_c + 1, cl, ch)
+                Fc = _beta_plane(beta_c, d, dm, face_c, cl, ch) * \
+                    (hi_cell - lo_cell) / dxc[d]
             # fine flux on the coincident plane, averaged to coarse faces
             fface = 0 if side == 0 else child.n[d]
             f_lo = _fine_plane(pad_f, d, dm, fface - 1 + 1)
@@ -211,10 +245,16 @@ def _avg_plane(f, d, dm):
 
 def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
                        phi0_l=None, bvals=None, rel_eps=1e-10,
-                       max_outer=DEFAULT_OUTER, return_info=False):
+                       max_outer=DEFAULT_OUTER, return_info=False,
+                       nv_fine=1, nv_coarse=2):
     """Solve the composite problem (alpha*aco - div beta grad) phi = rhs over
     all levels. Returns (phi_l, resnorm) — or (phi_l, (resnorm, iters))
-    with return_info."""
+    with return_info. nv_fine / nv_coarse: V-cycles per level visit inside
+    each outer composite cycle. nv_fine MUST stay 1: over-solving a fine
+    level against its homogeneous interface ghosts drives the correction
+    toward the wrong (decoupled) solution and STALLS the composite
+    iteration (measured: nv_fine=2 stalls at ~1e-4 where nv_fine=1
+    converges in 8 outers); nv_coarse=2 shaves ~1 outer."""
     sim = geom.sim
     dm, nlev = geom.dm, geom.nlev
     ell0 = [tuple(sim.ell_bc[comp][d]) for d in range(dm)]
@@ -298,24 +338,36 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         res = list(res)
         for c in range(nlev - 1, 0, -1):
             p = geom.parent[c]
-            d[c] = mg.v_cycle(hiers[c], d[c], res[c], zb)
-            pad_f = pad_phi(geom, c, d, ell0, zb, ng=1)
+            for _ in range(nv_fine):
+                d[c] = mg.v_cycle(hiers[c], d[c], res[c], zb)
+            # on the down pass the PARENT correction is still zero, so the
+            # child's cf ghosts are zero (pad_corr: no parent-prolong chain)
+            # and the parent-side reflux flux vanishes (fine-only reflux) —
+            # both were measured glue hot spots of the outer cycle
+            pad_f = pad_corr(geom, c, d[c], ell0, ng=1)
             dres = res[c] - mg.apply_padded(pad_f, aco_l[c], beta_l[c],
                                             alpha, geom.dx(c), dm)
             cov = covered_slice_rel(geom, c)
             res[p] = res[p].at[cov].set(restrict_cells(dres, dm))
-            pad_c = pad_phi(geom, p, d, ell0, zb, ng=1)  # d[parent] == 0
-            res[p] = _reflux_correct(geom, c, res[p], pad_c,
+            res[p] = _reflux_correct(geom, c, res[p], None,
                                      pad_f, beta_l[p], beta_l[c])
         r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
-        d[0] = mg.v_cycle(hiers[0], d[0], r0, zb, singular=singular)
+        for _ in range(nv_coarse):
+            d[0] = mg.v_cycle(hiers[0], d[0], r0, zb, singular=singular)
         for c in range(1, nlev):
             cov = covered_slice_rel(geom, c)
-            d[c] = d[c] + prolong_cells(d[geom.parent[c]][cov], dm)
+            # plain linear prolongation: a slope LIMITER on the correction
+            # clamps it at extrema (where the residual concentrates) and
+            # measurably weakens per-outer contraction
+            d[c] = d[c] + prolong_cells(d[geom.parent[c]][cov], dm,
+                                        limit=False)
             pad = pad_phi(geom, c, d, ell0, zb, ng=1)
             rl = res[c] - mg.apply_padded(pad, aco_l[c], beta_l[c], alpha,
                                           geom.dx(c), dm)
-            d[c] = d[c] + mg.v_cycle(hiers[c], jnp.zeros_like(rl), rl, zb)
+            du = jnp.zeros_like(rl)
+            for _ in range(nv_fine):
+                du = mg.v_cycle(hiers[c], du, rl, zb)
+            d[c] = d[c] + du
         return d
 
     def body(carry):

@@ -58,7 +58,7 @@ class _Plan:
     See the module docstring for the Mosaic constraints that pick these
     numbers."""
 
-    def __init__(self, n_cell, ng, heavy=False):
+    def __init__(self, n_cell, ng, heavy=False, nc=1):
         self.n = tuple(n_cell)
         self.ng = ng
         n0, n1, n2 = n_cell
@@ -67,9 +67,11 @@ class _Plan:
         # measured fits at 256^3 (velpred fits tx=8 but not 12; the
         # single-component mkflux fits tx=12 but not 16). The same model
         # gates large untiled-z problems instead of a hardcoded n2 switch.
+        # heavy (mkflux) live set ~= 8 shared (MAC faces, rhs) + 42 per
+        # component (nc > 1: one batched multi-component call).
         yb = -(-(TY + 2 * ng) // 8) * 8
         zb = n2 + 2 * ng
-        live_slabs = 50 if heavy else 62
+        live_slabs = (8 + 42 * nc) if heavy else 62
         budget_mb = float(os.environ.get("VARDEN_GODUNOV_VMEM_MB", "38"))
         self.tx = 0
         for t in ((24, 16, 12, 8, 4, 2, 1) if heavy
@@ -404,7 +406,19 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     as godunov3d.mkflux_3d. The y slabs run through the SAME fused kernel;
     the x slabs (domain corners) use the windowed path."""
     nc = s.shape[0]
-    p = _Plan(n_cell, ng, heavy=True)
+    # One BATCHED kernel call for all components beats per-component calls
+    # when the multi-component stack still fits a reasonable x tile: the
+    # shared MAC-face reads and the per-tile fixed cost are paid once
+    # (measured at 256^3: see PROGRESS.md round 4). Falls back to
+    # per-component calls when the batched plan's tile collapses.
+    batch = os.environ.get("VARDEN_MKFLUX_BATCH", "1") != "0"
+    pb = _Plan(n_cell, ng, heavy=True, nc=nc) if batch and nc > 1 else None
+    if pb is not None and pb.ok and pb.tx >= 8:
+        p = pb
+        groups = [list(range(nc))]
+    else:
+        p = _Plan(n_cell, ng, heavy=True)
+        groups = [[c] for c in range(nc)]
     if not p.ok:
         return godunov3d.mkflux_3d(s, mac_pads, force, mac_rhs, dt, dx,
                                    phys_bc, adv_bc, ng, n_cell, is_vel,
@@ -418,32 +432,29 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
     cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     pbc = tuple(tuple(b) for b in phys_bc)
 
-    # One kernel call PER COMPONENT: mkflux components are independent
-    # (coupled only through the shared MAC field inputs), and the smaller
-    # per-call stack admits a larger x tile — less halo recompute than one
-    # multi-component call at a small tile.
-    def call(ins, c, ty, adv_k, bc_sides, yface, grid2):
+    def call(ins, grp, ty, adv_k, bc_sides, yface, grid2):
+        ncg = len(grp)
         kern = functools.partial(
             _mkflux_kernel, dx=tuple(dx), ng=ng, tx=p.tx, ty=ty, tz=p.tz,
             phys_bc=pbc, adv_bc=adv_k,
-            is_vel=is_vel, is_cons=(is_conservative[c],),
+            is_vel=is_vel, is_cons=tuple(is_conservative[c] for c in grp),
             slope_order=slope_order, use_minion=use_minion,
             bc_sides=bc_sides, yface=yface)
         if grid2:
             grid = (p.nxt, p.nyt)
-            in_specs = [_in_spec(p, 1), _in_spec(p), _in_spec(p),
-                        _in_spec(p), _in_spec(p, 1), _in_spec(p),
+            in_specs = [_in_spec(p, ncg), _in_spec(p), _in_spec(p),
+                        _in_spec(p), _in_spec(p, ncg), _in_spec(p),
                         pl.BlockSpec(memory_space=pltpu.SMEM)]
-            out_specs = [_out_spec(p, 1), _out_spec(p, 1),
-                         _out_spec(p, 1, zfaces=True),
-                         _out_spec(p, 1), _out_spec(p, 1),
-                         _out_spec(p, 1, zfaces=True)]
-            out_shape = [_out_shape(p, s.dtype, 1),
-                         _out_shape(p, s.dtype, 1),
-                         _out_shape(p, s.dtype, 1, zfaces=True),
-                         _out_shape(p, s.dtype, 1),
-                         _out_shape(p, s.dtype, 1),
-                         _out_shape(p, s.dtype, 1, zfaces=True)]
+            out_specs = [_out_spec(p, ncg), _out_spec(p, ncg),
+                         _out_spec(p, ncg, zfaces=True),
+                         _out_spec(p, ncg), _out_spec(p, ncg),
+                         _out_spec(p, ncg, zfaces=True)]
+            out_shape = [_out_shape(p, s.dtype, ncg),
+                         _out_shape(p, s.dtype, ncg),
+                         _out_shape(p, s.dtype, ncg, zfaces=True),
+                         _out_shape(p, s.dtype, ncg),
+                         _out_shape(p, s.dtype, ncg),
+                         _out_shape(p, s.dtype, ncg, zfaces=True)]
         else:
             grid = (p.nxt,)
             ybs = ty + 2 * ng
@@ -458,16 +469,16 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
                 return pl.BlockSpec(tuple(dims), idx,
                                     memory_space=pltpu.VMEM)
 
-            in_specs = [espec(1), espec(), espec(), espec(), espec(1),
+            in_specs = [espec(ncg), espec(), espec(), espec(), espec(ncg),
                         espec(), pl.BlockSpec(memory_space=pltpu.SMEM)]
 
             def ospec(yr, zf=0):
-                return pl.BlockSpec((1, p.tx, yr, p.tz + zf),
+                return pl.BlockSpec((ncg, p.tx, yr, p.tz + zf),
                                     lambda i: (0, i, 0, 0),
                                     memory_space=pltpu.VMEM)
 
             def oshape(yr, zf=0):
-                return jax.ShapeDtypeStruct((1, p.nxi, yr, p.tz + zf),
+                return jax.ShapeDtypeStruct((ncg, p.nxi, yr, p.tz + zf),
                                             s.dtype)
 
             out_specs = [ospec(ty), ospec(ty + yface), ospec(ty, 1),
@@ -480,27 +491,27 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
         )(*ins)
 
     outs_c, slab_c = [], []
-    for c in range(nc):
-        adv_c = (tuple(tuple(tuple(a) for a in adv_bc[c])),)
-        ins = (s[c:c + 1], mac_pads[0], mac_pads[1], mac_pads[2],
-               force[c:c + 1], mac_rhs, scal)
-        outs_c.append(call(ins, c, TY, _interior_adv_bc(adv_c, 1), BC_Z, 0,
-                           True))
+    for grp in groups:
+        ncg = len(grp)
+        adv_g = tuple(tuple(tuple(a) for a in adv_bc[c]) for c in grp)
+        ins = (s[grp[0]:grp[-1] + 1], mac_pads[0], mac_pads[1], mac_pads[2],
+               force[grp[0]:grp[-1] + 1], mac_rhs, scal)
+        outs_c.append(call(ins, grp, TY, _interior_adv_bc(adv_g, ncg), BC_Z,
+                           0, True))
         per_side = {}
         for side, ty in ((0, p.yl), (1, p.yh)):
             ins_s = tuple(_yslab_take(a, side, ty, ng, a.ndim - 3)
                           if a.ndim >= 3 else a for a in ins)
             bcs = frozenset({(1, side)} | BC_Z)
-            per_side[side] = call(ins_s, c, ty, _y_slab_adv_bc(adv_c, side, 1),
+            per_side[side] = call(ins_s, grp, ty,
+                                  _y_slab_adv_bc(adv_g, side, ncg),
                                   bcs, 1 if side == 1 else 0, False)
         slab_c.append(per_side)
     km_e = [jnp.concatenate([o[i] for o in outs_c]) for i in range(3)]
     km_f = [jnp.concatenate([o[i] for o in outs_c]) for i in range(3, 6)]
-    yslab_e = {(1, side): [jnp.concatenate([slab_c[c][side][i]
-                                            for c in range(nc)])
+    yslab_e = {(1, side): [jnp.concatenate([sc[side][i] for sc in slab_c])
                            for i in range(3)] for side in (0, 1)}
-    yslab_f = {(1, side): [jnp.concatenate([slab_c[c][side][i]
-                                            for c in range(nc)])
+    yslab_f = {(1, side): [jnp.concatenate([sc[side][i] for sc in slab_c])
                            for i in range(3, 6)] for side in (0, 1)}
 
     def slab(axis, side, width):

@@ -122,6 +122,12 @@ class CCLevel:
     # per-axis coarsening factor (1 or 2) toward the NEXT coarser level;
     # None for standalone levels / the bottom (semi-coarsening support)
     cfac: Tuple[int, ...] = None
+    # precomputed dense inverse of the bottom operator (bottom level only):
+    # factoring once per hierarchy turns every bottom visit inside the
+    # V-cycle while_loop into a single MXU matvec instead of a fresh
+    # LU(N) — the LU was the single most expensive piece of the composite
+    # AMR outer cycle (measured 64^3 hierarchy, bottom 8^3: N=512)
+    binv: jnp.ndarray = None
 
     @property
     def dm(self):
@@ -272,8 +278,13 @@ def _coarsen_plan(n, dx, dm):
                  for d in range(dm))
 
 
-def build_hierarchy(n, dx, ell_bc, aco, beta, alpha) -> List[CCLevel]:
-    """Build the level stack by factor-2 (semi-)coarsening (finest first)."""
+def build_hierarchy(n, dx, ell_bc, aco, beta, alpha,
+                    bottom: str = "dense") -> List[CCLevel]:
+    """Build the level stack by factor-2 (semi-)coarsening (finest first).
+
+    For the dense bottom solver the bottom operator's inverse is
+    materialized HERE — once per hierarchy, outside any V-cycle while_loop
+    — so each bottom visit is one MXU matvec (see CCLevel.binv)."""
     dm = len(n)
     levels = []
     while True:
@@ -287,6 +298,13 @@ def build_hierarchy(n, dx, ell_bc, aco, beta, alpha) -> List[CCLevel]:
         dx = [dx[d] * fac[d] for d in range(dm)]
         aco = _cell_avg_down(aco, dm, fac)
         beta = [_face_avg_down(beta[d], d, dm, fac) for d in range(dm)]
+    lb = levels[-1]
+    N = 1
+    for s in lb.n:
+        N *= s
+    if bottom == "dense" and N <= 4096:
+        A = _bottom_dense_A(lb, is_singular(ell_bc, alpha))
+        levels[-1] = dataclasses.replace(lb, binv=jnp.linalg.inv(A))
     return levels
 
 
@@ -539,23 +557,42 @@ def bottom_dense_solve(level: CCLevel, r, singular: bool):
     reference's bottom-solver knobs (mg_bottom_solver, _parameters:55-57)
     pick among iterative options; a direct solve strictly dominates at this
     size. Supports a leading batch axis on r (shared operator, multiple
-    right-hand sides in one MXU solve)."""
+    right-hand sides in one MXU solve). When the hierarchy carries a
+    precomputed bottom inverse (build_hierarchy), each visit is a single
+    matvec."""
     n = level.n
     N = 1
     for s in n:
         N *= s
-    zero_bv = [[0.0, 0.0]] * level.dm
-    eye = jnp.eye(N, dtype=r.dtype)
-    cols = jax.vmap(lambda e: cc_apply(level, e.reshape(n), zero_bv).ravel())(eye)
-    A = cols.T
-    if singular:
-        # regularize along the constant null space; with a mean-free rhs the
-        # solution is the mean-free solution
-        A = A + jnp.full((N, N), 1.0 / N, r.dtype)
+    if level.binv is not None:
+        if r.ndim > level.dm:
+            rr = r.reshape(-1, N)
+            return (rr @ level.binv.T).reshape(r.shape)
+        return (level.binv @ r.ravel()).reshape(n)
+    A = _bottom_dense_A(level, singular)
     if r.ndim > level.dm:
         rr = r.reshape(-1, N)
         return jnp.linalg.solve(A, rr.T).T.reshape(r.shape)
     return jnp.linalg.solve(A, r.ravel()).reshape(n)
+
+
+def _bottom_dense_A(level: CCLevel, singular: bool):
+    """Materialize the (tiny) coarsest operator by a vmapped application to
+    the identity; rank-1 regularized along the constant null space when
+    singular (with a mean-free rhs the solution is the mean-free one)."""
+    n = level.n
+    N = 1
+    for s in n:
+        N *= s
+    dtype = level.diag.dtype
+    zero_bv = [[0.0, 0.0]] * level.dm
+    eye = jnp.eye(N, dtype=dtype)
+    cols = jax.vmap(
+        lambda e: cc_apply(level, e.reshape(n), zero_bv).ravel())(eye)
+    A = cols.T
+    if singular:
+        A = A + jnp.full((N, N), 1.0 / N, dtype)
+    return A
 
 
 def v_cycle(levels: List[CCLevel], phi, rhs, bvals, lev=0,
@@ -772,7 +809,7 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
         # re-enable the Pallas GSRB, whose tile plan busts VMEM when this
         # solve is vmapped over velocity components).
         levels = build_hierarchy(list(n), list(dx), ell_bc, aco, list(beta),
-                                 alpha)
+                                 alpha, bottom=bottom)
 
         def resnorm(p):
             return resnorm0(p)

@@ -143,6 +143,10 @@ class NodalLevel:
     sigma: jnp.ndarray            # cell coefficient (1/rho)
     diag: jnp.ndarray             # operator diagonal on nodes
     mask: Optional[jnp.ndarray]   # 1 = solve, 0 = Dirichlet(0) node; None = no mask
+    # precomputed dense inverse of the bottom operator (bottom level only,
+    # see mg.CCLevel.binv): one inversion per hierarchy instead of an
+    # LU(N) at every bottom visit inside the V-cycle while_loop
+    binv: Optional[jnp.ndarray] = None
 
     @property
     def dm(self):
@@ -424,6 +428,13 @@ def build_hierarchy(n, dx, pmask, sigma, mask) -> List[NodalLevel]:
         dx = [2.0 * h for h in dx]
         sigma = _cell_avg(sigma, dm)
         mask = _coarsen_mask(mask, pmask, dm)
+    lb = levels[-1]
+    N = 1
+    for s in node_shape(lb.n, pmask):
+        N *= s
+    if N <= 4096:
+        A = _bottom_dense_A(lb)
+        levels[-1] = dataclasses.replace(lb, binv=jnp.linalg.inv(A))
     return levels
 
 
@@ -460,25 +471,42 @@ def bottom_solve(level: NodalLevel, r, method: str = "dense"):
     return out
 
 
+def _bottom_dense_A(level: NodalLevel):
+    """Materialize the (tiny) coarsest nodal operator by a vmapped
+    application to the identity: rank-1 regularized (all-periodic, null
+    space = constants) or with identity rows on Dirichlet nodes."""
+    shape = node_shape(level.n, level.pmask)
+    N = 1
+    for s in shape:
+        N *= s
+    dtype = level.diag.dtype
+    eye = jnp.eye(N, dtype=dtype)
+    cols = jax.vmap(lambda e: nd_apply(level, e.reshape(shape)).ravel())(eye)
+    A = cols.T
+    if level.mask is None:
+        A = A + jnp.full((N, N), 1.0 / N, dtype)
+    else:
+        A = A + jnp.diag(1.0 - level.mask.ravel())
+    return A
+
+
 def bottom_dense_solve(level: NodalLevel, r):
     """Direct dense bottom solve via a vmapped operator application — one MXU
-    solve instead of a sequential Krylov loop (TPU latency)."""
+    solve instead of a sequential Krylov loop (TPU latency). With a
+    precomputed inverse on the level (build_hierarchy), one matvec."""
     shape = r.shape
     N = 1
     for s in shape:
         N *= s
-    eye = jnp.eye(N, dtype=r.dtype)
-    cols = jax.vmap(lambda e: nd_apply(level, e.reshape(shape)).ravel())(eye)
-    A = cols.T
     if level.mask is None:
-        A = A + jnp.full((N, N), 1.0 / N, r.dtype)
         r = r - jnp.mean(r)
     else:
-        # identity rows for fixed (Dirichlet) nodes
-        m = level.mask.ravel()
-        A = A + jnp.diag(1.0 - m)
         r = r * level.mask
-    out = jnp.linalg.solve(A, r.ravel()).reshape(shape)
+    if level.binv is not None:
+        out = (level.binv @ r.ravel()).reshape(shape)
+    else:
+        A = _bottom_dense_A(level)
+        out = jnp.linalg.solve(A, r.ravel()).reshape(shape)
     if level.mask is not None:
         out = out * level.mask
     return out

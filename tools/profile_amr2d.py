@@ -1,0 +1,53 @@
+"""Phase profile of the cfg3 geometry (2-D 64^2 + 1 level, f32): whole
+composite step (differenced) + ML phase splits."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from varden_tpu.config import VardenConfig
+from varden_tpu.driver import Varden
+from varden_tpu import profiling
+
+n = int(os.environ.get("BENCH_N", "64"))
+cfg = VardenConfig(
+    dim_in=2, prob_type=1, n_cellx=n, n_celly=n, max_levs=2,
+    regrid_int=4, grav=-9.8, visc_coef=1e-3, cflfac=0.9,
+    init_shrink=0.1, init_iter=1, max_step=0, dtype="float32",
+    bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15)
+v = Varden(cfg)
+states = v.initialize_ml()
+print("tree:", [(v.geom.depth[i], v.geom.specs[i].n)
+                for i in range(v.geom.nlev)])
+step = v._ml_step_fn(4)
+dt = 5e-4
+hints0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
+
+
+def run(k):
+    t0 = time.perf_counter()
+    s, h = states, hints0
+    for _ in range(k):
+        s, diag = step(s, dt, h)
+        h = {"phi_mac": diag["phi_mac"], "phi_mac_prev": h["phi_mac"],
+             "phi_hg": diag["phi_hg"], "phi_hg_prev": h["phi_hg"]}
+    _ = float(jnp.sum(s[0].u))
+    return time.perf_counter() - t0
+
+
+run(1)
+t1 = min(run(2) for _ in range(2))
+t2 = min(run(12) for _ in range(2))
+per_step = (t2 - t1) / 10
+import numpy as np
+fine = int(np.prod(v.geom.specs[1].n))
+cells = n ** 2 + fine - fine // 4
+print(f"WHOLE ML STEP: {1e3 * per_step:.2f} ms -> "
+      f"{cells / per_step / 1e6:.2f} Mcells/s (composite cells {cells})")
+
+profiling.profile_phases_ml(v.geom, states, jnp.asarray(dt, v.sim.dtype),
+                            n_rep=10)

@@ -235,7 +235,44 @@ def _overlap_cells(spec: LevelSpec, lo_f, hi_f) -> int:
     return v
 
 
-def compute_tree(sim: Sim, geom, states: List[State]):
+_TAG_FN_CACHE = {}
+
+
+def _tag_nodes(sim: Sim, geom) -> List[int]:
+    """Node indices whose tags compute_tree consumes (depth < max_levs-1)."""
+    return [i for i in range(geom.nlev)
+            if geom.depth[i] < sim.cfg.max_levs - 1]
+
+
+def compute_tags(sim: Sim, geom, states: List[State]):
+    """All tag arrays compute_tree needs, from ONE jitted dispatch, with
+    host copies started immediately.
+
+    On a tunneled device every device->host fetch costs a full round trip
+    (~30 ms); the eager per-node ``np.asarray(tag_cells(...))`` made regrid
+    cost nlev RTTs. Batching into one program + one async transfer (and
+    prefetching it from the step *before* the regrid — driver.step_ml)
+    makes the reference's regrid cadence (regrid.f90:131-202 every
+    regrid_int steps) nearly free in wall-clock."""
+    import jax
+    nodes = _tag_nodes(sim, geom)
+    key = (geom.key(), sim.cfg.prob_type, sim.cfg.max_levs)
+    fn = _TAG_FN_CACHE.get(key)
+    if fn is None:
+        depths = [geom.depth[i] for i in nodes]
+
+        def all_tags(rhos):
+            return tuple(problems.tag_cells(sim, r, d)
+                         for r, d in zip(rhos, depths))
+        fn = jax.jit(all_tags)
+        _TAG_FN_CACHE[key] = fn
+    tags = fn([states[i].s[0] for i in nodes])
+    for t in tags:
+        t.copy_to_host_async()
+    return dict(zip(nodes, tags))
+
+
+def compute_tree(sim: Sim, geom, states: List[State], tags=None):
     """New patch tree from density tagging of the current states
     (regrid.f90:131-202 loop, with FBoxLib's make_new_grids clustering):
     each depth-d node's tags cluster into Berger-Rigoutsos boxes; boxes
@@ -245,19 +282,20 @@ def compute_tree(sim: Sim, geom, states: List[State]):
 
     Returns (specs, parent, depth) lists, depth-sorted (node 0 = root)."""
     buf = max(sim.cfg.amr_buf_width, 2)
+    if tags is None:
+        tags = compute_tags(sim, geom, states)
     specs = [geom.specs[0]]
     parent = [-1]
     depth = [0]
     for d in range(sim.cfg.max_levs - 1):
         old_nodes = [i for i in range(geom.nlev) if geom.depth[i] == d
-                     and i < len(states)]
+                     and i < len(states) and i in tags]
         if not old_nodes:
             break
         cand = []
         for i in old_nodes:
-            rho = states[i].s[0]
-            tags = np.asarray(problems.tag_cells(sim, rho, d))
-            cand += _child_boxes(sim, tags, geom.specs[i], buf)
+            cand += _child_boxes(sim, np.asarray(tags[i]), geom.specs[i],
+                                 buf)
         cand = _merge_near(cand, MERGE_GAP)
         parents_d = [j for j in range(len(specs)) if depth[j] == d]
         children = {}          # parent node -> list of LevelSpec

@@ -39,6 +39,7 @@ class Varden:
         }
         self._hints = None
         self._ml_hints = None     # per-level projection warm starts
+        self._tag_prefetch = None  # (geom key, regrid tags in flight)
         self.bench_async = False  # benchmark mode: never sync dt to host
         self._estdt = jax.jit(functools.partial(advance.estdt, self.sim))
         self._initial_proj = jax.jit(self._initial_projection_impl)
@@ -170,8 +171,12 @@ class Varden:
         self.istep += 1
         if cfg.regrid_int > 0 and (self.istep - 1) % cfg.regrid_int == 0 \
                 and self.istep > 1 and not cfg.fixed_grids:
-            specs, parent, depth = regrid_mod.compute_tree(self.sim,
-                                                           self.geom, states)
+            pre = self._tag_prefetch
+            self._tag_prefetch = None
+            tags = pre[1] if pre is not None and pre[0] == self.geom.key() \
+                else None
+            specs, parent, depth = regrid_mod.compute_tree(
+                self.sim, self.geom, states, tags=tags)
             from .amr.fill import MLGeom
             new_geom = MLGeom(self.sim, specs, parent, depth)
             if new_geom.key() != self.geom.key():
@@ -209,6 +214,15 @@ class Varden:
                           "phi_hg_prev": self._ml_hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
+        # the NEXT step regrids from exactly this post-step state: compute
+        # its tags now (one dispatch) and start the host copy so the regrid
+        # pays no device round-trip (see regrid.compute_tags)
+        nxt = self.istep + 1
+        if cfg.regrid_int > 0 and not cfg.fixed_grids and nxt > 1 \
+                and (nxt - 1) % cfg.regrid_int == 0:
+            self._tag_prefetch = (self.geom.key(),
+                                  regrid_mod.compute_tags(self.sim,
+                                                          self.geom, states))
         if self.bench_async:
             return states  # no banner / health pull: both force a host sync
         self._check_solver_health(diag)

@@ -30,6 +30,10 @@ except Exception:  # pragma: no cover
 
 # scoped-VMEM ceiling handed to Mosaic (see pallas_godunov._VMEM_LIMIT)
 _VMEM_LIMIT = int(os.environ.get("VARDEN_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+# the fused update kernel's scoped demand legitimately exceeds 100M at large
+# extents; v5e VMEM is 128MiB/core, so give that one call most of it
+_VMEM_LIMIT_WIDE = int(os.environ.get("VARDEN_VMEM_LIMIT_WIDE_MB",
+                                      "120")) * 1024 * 1024
 
 
 def _splice_interior_3d(phi, new_int):
@@ -710,8 +714,13 @@ def _update_tx(n, nc):
         faces = (xf + yf + zf) * (1 + 2 * nc)            # umac + sedge + flux
         return (cells + out + faces) * 4
 
-    for tx in (8, 4, 2):
-        if n[0] % tx == 0 and blk_bytes(tx) <= 50 * 1024 * 1024:
+    # Measured in-program scoped demand runs up to ~4x this block-set model
+    # (e.g. 101.3M at 256^3/nc=2/tx=4, 108.1M at 384^3/nc=2/tx=2 — XLA's
+    # stack accounting inside a large step program exceeds the standalone
+    # figure), so gate at WIDE_LIMIT/4 and compile with the WIDE ceiling.
+    budget = _VMEM_LIMIT_WIDE // 4
+    for tx in (8, 4, 2, 1):
+        if n[0] % tx == 0 and blk_bytes(tx) <= budget:
             return tx
     return 0
 
@@ -779,7 +788,7 @@ def update_3d(sold, umac, sedge, flux, force, dt, dx, is_cons, *,
                   xface(nc), yface(nc), zface(nc)],
         out_specs=cell(nc),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=_VMEM_LIMIT_WIDE),
         interpret=interpret,
     )(scal, sold, force, umac[0], umac[1], umac[2],
       sedge[0], sedge[1], sedge[2], flux[0], flux[1], flux[2])

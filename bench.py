@@ -16,6 +16,7 @@ the algorithm the reference executes: ~2.5-4 KB DRAM traffic/cell/step on a
 vs_baseline keeps the round-1..3 convention (assumed 2.0e6 cells/s, the
 low/single-fast-core end); vs_node_range brackets against the full band.
 """
+import functools
 import json
 import os
 import sys
@@ -29,6 +30,22 @@ NODE_BAND = (3.0e6, 2.0e7)        # cells/s per full Fortran node (BASELINE.md)
 BASELINE_BASIS = (
     "assumed 2.0e6 cells/s single-core Fortran (no toolchain in image); "
     "roofline band for a full node 3e6-2e7 cells/s -> vs_node_range")
+
+
+def _short_err(e, limit=200):
+    """One-line, bounded error string. The final stdout JSON line must stay
+    parseable no matter what fails (round-4 lesson: a 15 KB XLA OOM dump
+    embedded in the JSON line blew past the driver's tail capture). Full
+    errors go to stderr only."""
+    s = f"{type(e).__name__}: {e}"
+    s = " ".join(s.split())  # collapse newlines/whitespace
+    return s[:limit] + ("..." if len(s) > limit else "")
+
+
+def _is_oom(e):
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+            or "out of memory" in s.lower())
 
 
 def _result(name, cups, detail):
@@ -55,14 +72,14 @@ def bench_single(name, cfg, k1, k2):
     sim = Sim(cfg)
     state0 = problems.initdata(sim)
 
-    @jax.jit
+    # donate (state, hints): old-state buffers alias the new state's
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def step(state, dt, hints):
         new_state, diag = advance.advance_timestep(
             sim, state, dt, projection.REGULAR_TIMESTEP, hints=hints)
-        return new_state, {"phi_mac": diag["phi_mac"],
-                           "phi_mac_prev": hints["phi_mac"],
-                           "phi_hg": diag["phi_hg"],
-                           "phi_hg_prev": hints["phi_hg"]}
+        h = {"phi_mac": diag["phi_mac"], "phi_mac_prev": hints["phi_mac"],
+             "phi_hg": diag["phi_hg"], "phi_hg_prev": hints["phi_hg"]}
+        return new_state, h, diag["div_after"]
 
     dt = jnp.asarray(cfg.fixed_dt if cfg.fixed_dt > 0 else 5e-4, sim.dtype)
     z_mac = jnp.zeros(sim.n_cell, sim.dtype)
@@ -70,12 +87,18 @@ def bench_single(name, cfg, k1, k2):
     hints0 = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
               "phi_hg": z_hg, "phi_hg_prev": z_hg}
 
+    div_after = [None]
+
     def run(k):
+        # copy the episode-start buffers (donated on the first step);
+        # constant per-episode cost cancels in the differenced timing
+        s = jax.tree.map(jnp.copy, state0)
+        h = jax.tree.map(jnp.copy, hints0)
         t0 = time.perf_counter()
-        s, h = state0, hints0
         for _ in range(k):
-            s, h = step(s, dt, h)
+            s, h, da = step(s, dt, h)
         _sync(s.u)
+        div_after[0] = float(da)
         return time.perf_counter() - t0
 
     run(1)  # compile + warm
@@ -88,7 +111,11 @@ def bench_single(name, cfg, k1, k2):
     cups = cells / per_step
     return _result(name, cups, {
         "n": list(sim.n_cell), "dtype": cfg.dtype,
-        "ms_per_step": round(per_step * 1e3, 3)})
+        "ms_per_step": round(per_step * 1e3, 3),
+        # achieved post-MAC |div(umac)-rhs| on THIS device/dtype: the
+        # accuracy the speed numbers carry (reference prints it per step,
+        # macproject.f90:209-221)
+        "div_after": div_after[0]})
 
 
 def _composite_cells(geom):
@@ -110,18 +137,19 @@ def bench_ml_fixed(name, cfg, k1, k2):
 
     v = Varden(cfg)
     states = v.initialize_ml()
-    step = v._ml_step_fn(4)  # REGULAR_TIMESTEP
+    step = v._ml_step_fn(4)  # REGULAR_TIMESTEP (donates states+hints)
     dt = 5e-4
     hints0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
+    div_after = [None]
 
     def run(k):
+        s = jax.tree.map(jnp.copy, states)
+        h = jax.tree.map(jnp.copy, hints0)
         t0 = time.perf_counter()
-        s, h = states, hints0
         for _ in range(k):
-            s, diag = step(s, dt, h)
-            h = {"phi_mac": diag["phi_mac"], "phi_mac_prev": h["phi_mac"],
-                 "phi_hg": diag["phi_hg"], "phi_hg_prev": h["phi_hg"]}
+            s, h, diag = step(s, dt, h)
         _sync(s[0].u)
+        div_after[0] = float(diag["div_after"])
         return time.perf_counter() - t0
 
     run(1)
@@ -132,7 +160,8 @@ def bench_ml_fixed(name, cfg, k1, k2):
     cups = cells / per_step
     return _result(name, cups, {
         "levels": [list(s.n) for s in v.geom.specs], "dtype": cfg.dtype,
-        "ms_per_step": round(per_step * 1e3, 3)})
+        "ms_per_step": round(per_step * 1e3, 3),
+        "div_after": div_after[0]})
 
 
 def bench_ml_regrid(name, cfg, k1, k2):
@@ -147,15 +176,26 @@ def bench_ml_regrid(name, cfg, k1, k2):
     states0 = v.initialize_ml()
     geom0, dt0, t0_, hints0 = v.geom, v.dt, v.time, v._ml_hints
 
+    ri = cfg.regrid_int
+
     def episode(k):
         # replay from the post-init snapshot; the regrid sequence (and thus
-        # every compiled shape) is identical across episodes
+        # every compiled shape) is identical across episodes. The snapshot
+        # buffers are COPIED: the regular step donates its inputs.
+        # Steps between regrid boundaries run as ONE lax.scan dispatch
+        # (driver.step_ml_chunk) — small AMR steps are dispatch-bound.
         v.geom, v.dt, v.time, v.istep = geom0, dt0, t0_, 0
-        v._ml_hints = hints0
-        s = states0
+        v._ml_hints = jax.tree.map(jnp.copy, hints0) \
+            if hints0 is not None else None
+        s = jax.tree.map(jnp.copy, states0)
         t0 = time.perf_counter()
-        for _ in range(k):
-            s = v.step_ml(s)
+        while v.istep < k:
+            m = v.istep
+            if m == 0 or (ri > 0 and m % ri == 0):
+                s = v.step_ml(s)   # first step / regrid boundary
+            else:
+                nb = (ri - m % ri) if ri > 0 else (k - m)
+                s = v.step_ml_chunk(s, min(nb, k - m))
         _sync(s[0].u)
         return time.perf_counter() - t0
 
@@ -168,7 +208,8 @@ def bench_ml_regrid(name, cfg, k1, k2):
     return _result(name, cups, {
         "levels": [list(s.n) for s in v.geom.specs], "dtype": cfg.dtype,
         "regrid_int": cfg.regrid_int,
-        "ms_per_step": round(per_step * 1e3, 3)})
+        "ms_per_step": round(per_step * 1e3, 3),
+        "div_after": float(jnp.max(v.last_diag["div_after"]))})
 
 
 def check_fused(n, dtype):
@@ -265,15 +306,18 @@ def build_configs(dtype):
             bcx_lo=-1, bcx_hi=-1, bcy_lo=-1, bcy_hi=-1, bcz_lo=15,
             bcz_hi=15), 2, 8),
         ("cfg5-amr3d-%d-3lev" % int(os.environ.get("BENCH_N5", "256")),
-         "ml_fixed", VardenConfig(
-            dim_in=3, prob_type=1,
-            n_cellx=int(os.environ.get("BENCH_N5", "256")),
-            n_celly=int(os.environ.get("BENCH_N5", "256")),
-            n_cellz=int(os.environ.get("BENCH_N5", "256")), max_levs=3,
-            regrid_int=-1, grav=-9.8, visc_coef=1e-3, cflfac=0.5,
-            init_shrink=0.5, init_iter=0, max_step=0, dtype=dtype,
-            **wall3), 1, 4),
+         "ml_fixed", cfg5_config(int(os.environ.get("BENCH_N5", "256")),
+                                 dtype), 1, 4),
     ]
+
+
+def cfg5_config(n5, dtype):
+    from varden_tpu.config import VardenConfig
+    return VardenConfig(
+        dim_in=3, prob_type=1, n_cellx=n5, n_celly=n5, n_cellz=n5,
+        max_levs=3, regrid_int=-1, grav=-9.8, visc_coef=1e-3, cflfac=0.5,
+        init_shrink=0.5, init_iter=0, max_step=0, dtype=dtype,
+        bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15)
 
 
 def main():
@@ -318,10 +362,12 @@ def main():
         if time.perf_counter() - t_start > budget and headline is not None:
             skipped.append(key)
             continue
+        import contextlib
+        import gc
+        err = None
         try:
             # stdout must stay a single JSON line: the driver-level STEP
             # banners from the regrid bench go to stderr
-            import contextlib
             with contextlib.redirect_stdout(sys.stderr):
                 if kind == "single":
                     r = bench_single(key, cfg, k1, k2)
@@ -330,9 +376,46 @@ def main():
                 else:
                     r = bench_ml_regrid(key, cfg, k1, k2)
         except Exception as e:  # OOM on small hosts etc.: report, move on
-            print(f"[bench] {key} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            results[key] = {"name": key, "error": f"{type(e).__name__}: {e}"}
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            err = (_short_err(e), _is_oom(e))
+        if err is not None:
+            # NOTE: fallbacks run OUTSIDE the except block and after a
+            # gc.collect(): the exception traceback pins bench_ml_fixed's
+            # frame — i.e. the ENTIRE failed 256^3 hierarchy stays alive in
+            # HBM while a retry runs (this is why every round-4 fallback
+            # size OOM'd too).
+            print(f"[bench] {key} failed: {err[0]}", file=sys.stderr)
+            results[key] = {"name": key, "error": err[0]}
+            gc.collect()
+            # cfg5 OOM fallback: halve N until a 3-D composite number ships
+            # (tracks AMR throughput round-over-round even if the flagship
+            # size regresses — VERDICT r4 item 6)
+            if key.startswith("cfg5") and err[1]:
+                n5 = int(key.split("-")[2])
+                while n5 > 32:
+                    n5 //= 2
+                    fkey = f"cfg5-amr3d-{n5}-3lev-fallback"
+                    ferr = None
+                    try:
+                        with contextlib.redirect_stdout(sys.stderr):
+                            r = bench_ml_fixed(fkey, cfg5_config(n5, dtype),
+                                               1, 4)
+                    except Exception as e2:
+                        import traceback
+                        traceback.print_exc(file=sys.stderr)
+                        ferr = (_short_err(e2), _is_oom(e2))
+                    gc.collect()
+                    if ferr is None:
+                        results[fkey] = r
+                        print(f"[bench] {fkey}: {r['cells_per_s']:.3e} "
+                              "cells/s", file=sys.stderr)
+                        break
+                    print(f"[bench] {fkey} failed: {ferr[0]}",
+                          file=sys.stderr)
+                    results[fkey] = {"name": fkey, "error": ferr[0]}
+                    if not ferr[1]:
+                        break
             continue
         results[key] = r
         if key.startswith("headline"):
@@ -343,8 +426,9 @@ def main():
     artifact = {"configs": results, "skipped": skipped,
                 "baseline_basis": BASELINE_BASIS, "dtype": dtype,
                 "backend": jax.default_backend()}
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_ALL.json"), "w") as f:
+    out_dir = os.environ.get(
+        "BENCH_OUT_DIR", os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(out_dir, "BENCH_ALL.json"), "w") as f:
         json.dump(artifact, f, indent=1)
 
     if headline is None:  # filtered out: report whatever ran
@@ -366,4 +450,12 @@ def main():
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    try:
+        main()
+    except BaseException as e:  # last-ditch: stdout must stay one JSON line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({"metric": "bench-failed", "value": 0.0,
+                          "unit": "cell-updates/s", "vs_baseline": 0.0,
+                          "error": _short_err(e)}))
+        sys.exit(1)

@@ -82,6 +82,66 @@ def test_mkflux_fused_matches_windowed(bc, is_vel):
         assert ef < 1e-13, f"sflux bc={bc} dir {d}: {ef}"
 
 
+@pytest.mark.parametrize("bc,is_vel", [((15, 15, 15), False),
+                                       ((-1, 15, 15), True),
+                                       ((-1, -1, -1), False)])
+def test_mkflux_update_fused_matches_reference(bc, is_vel):
+    """Fused mkflux+update epilogue == windowed mkflux then the jnp update
+    (the kernel computes snew from VMEM-resident faces; reference
+    update_3d, src/update.f90:186-278)."""
+    from varden_tpu.ops import basic
+    sim, u, force = _setup(bc)
+    dm, ng, n = sim.dm, sim.ng, sim.n_cell
+    from varden_tpu.advance import embed_faces
+    rng = np.random.RandomState(11)
+    umac = tuple(jnp.asarray(rng.rand(*[n[t] + (1 if t == d else 0)
+                                        for t in range(3)]) - 0.5)
+                 for d in range(3))
+    mac_pads = embed_faces(sim, umac, ng)
+    dt = 2e-3
+    if is_vel:
+        s = u
+        adv = [sim.adv_bc[d] for d in range(dm)]
+        is_cons = [False] * 3
+    else:
+        state = problems.initdata(sim)
+        s = state.s + 0.05 * jnp.asarray(rng.rand(*state.s.shape))
+        adv = [sim.adv_bc[sim.scal_comp(i)] for i in range(sim.nscal)]
+        is_cons = [True] + [False] * (sim.nscal - 1)
+    s_pad = sim.fill_vel(s) if is_vel else sim.fill_scal(s)
+    f_pad = sim.fill_extrap(force[:s.shape[0]] if is_vel else
+                            jnp.zeros_like(s) + 0.1, ng)
+    rhs_pad = sim.fill_extrap(jnp.zeros(n, sim.dtype), ng)
+    fupd = 0.3 * jnp.asarray(rng.rand(s.shape[0], *n) - 0.5)
+
+    ref_e, ref_f = godunov3d.mkflux_3d(
+        s_pad, mac_pads, f_pad, rhs_pad, dt, sim.dx, sim.phys_bc, adv, ng,
+        n, is_vel, is_cons, sim.cfg.slope_order, False)
+    ref = pallas_godunov._update_vals(
+        s, [jnp.asarray(m) for m in umac], ref_e, ref_f, fupd, dt, sim.dx,
+        is_cons)
+    out = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, f_pad, fupd, rhs_pad, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, is_vel, is_cons, sim.cfg.slope_order, False,
+        interpret=True)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 1e-12, f"bc={bc} is_vel={is_vel}: {err}"
+    # and it equals the production two-pass path (basic.update jnp branch)
+    two = basic.update(s, umac, ref_e, ref_f, fupd, dt, sim.dx, is_cons)
+    assert float(jnp.max(jnp.abs(out - two))) < 1e-12
+    if not is_vel:
+        # flux-emitting variant (AMR flux registers): same snew + the
+        # conservative component's fluxes
+        out2, fl = pallas_godunov.mkflux_update_3d_fused(
+            s_pad, mac_pads, f_pad, fupd, rhs_pad, dt, sim.dx, sim.phys_bc,
+            adv, ng, n, is_vel, is_cons, sim.cfg.slope_order, False,
+            flux_comps=(0,), interpret=True)
+        assert float(jnp.max(jnp.abs(out2 - ref))) < 1e-12
+        for d in range(3):
+            ferr = float(jnp.max(jnp.abs(fl[d] - ref_f[d][0:1])))
+            assert ferr < 1e-13, f"flux d={d}: {ferr}"
+
+
 @pytest.mark.parametrize("bc", [(15, 15), (-1, 14)])
 def test_2d_fused_matches_windowed(bc):
     """Whole-grid 2-D kernels == windowed path (same staged math on the

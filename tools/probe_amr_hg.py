@@ -30,12 +30,13 @@ print("tree:", [(geom.depth[i], geom.specs[i].n) for i in range(geom.nlev)])
 step = v._ml_step_fn(4)
 dt = 5e-4
 h0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
-s1, diag1 = step(states, dt, h0)
+s1, h1, _diag1 = step(jax.tree.map(jnp.copy, states), dt,
+                      jax.tree.map(jnp.copy, h0))
 jax.block_until_ready(s1[0].u)
 
 sigma_l = [1.0 / st.s[0] for st in states]
 vel_l = [st.u for st in s1]
-phi_warm = [jnp.asarray(p) for p in diag1["phi_hg"]]
+phi_warm = [jnp.asarray(p) for p in h1["phi_hg"]]
 zeros = [jnp.zeros_like(p) for p in phi_warm]
 
 

@@ -32,10 +32,11 @@ print("tree:", [(geom.depth[i], geom.specs[i].n) for i in range(geom.nlev)])
 step = v._ml_step_fn(4)
 dt = 5e-4
 h0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
-s1, diag1 = step(states, dt, h0)
-h1 = {"phi_mac": diag1["phi_mac"], "phi_mac_prev": h0["phi_mac"],
-      "phi_hg": diag1["phi_hg"], "phi_hg_prev": h0["phi_hg"]}
-s2, diag2 = step(s1, dt, h1)
+s1, h1, _d1 = step(jax.tree.map(jnp.copy, states), dt,
+                   jax.tree.map(jnp.copy, h0))
+# s1/h1 are reused below: copy what the (donating) second step consumes
+s2, h2, _d2 = step(jax.tree.map(jnp.copy, s1), dt,
+                   jax.tree.map(jnp.copy, h1))
 jax.block_until_ready(s2[0].u)
 
 
@@ -99,7 +100,7 @@ def get_umac(states):
 
 
 umac_l = get_umac(s1)
-phi_warm = [jnp.asarray(p) for p in diag1["phi_mac"]]
+phi_warm = [jnp.asarray(p) for p in h1["phi_mac"]]
 
 rhs_l, aco_l, beta_l = jax.jit(build_mac_problem)(s1, umac_l)
 zeros = [jnp.zeros(geom.specs[l].n, sim.dtype) for l in range(nlev)]

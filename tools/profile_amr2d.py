@@ -29,12 +29,11 @@ hints0 = v._ml_hints if v._ml_hints is not None else v._zero_ml_hints()
 
 
 def run(k):
+    s = jax.tree.map(jnp.copy, states)   # step donates its inputs
+    h = jax.tree.map(jnp.copy, hints0)
     t0 = time.perf_counter()
-    s, h = states, hints0
     for _ in range(k):
-        s, diag = step(s, dt, h)
-        h = {"phi_mac": diag["phi_mac"], "phi_mac_prev": h["phi_mac"],
-             "phi_hg": diag["phi_hg"], "phi_hg_prev": h["phi_hg"]}
+        s, h, _diag = step(s, dt, h)
     _ = float(jnp.sum(s[0].u))
     return time.perf_counter() - t0
 

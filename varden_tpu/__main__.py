@@ -36,6 +36,11 @@ def main(argv=None):
         argv = argv[1:]
     env = os.environ.get("PROBIN")
     if env:
+        if path is not None and path != env:
+            # Reference priority gives $PROBIN the win (probin.template:
+            # 72-105), but never silently: the user typed a file name.
+            print(f"warning: $PROBIN={env} overrides the inputs-file "
+                  f"argument '{path}' (unset PROBIN to use the argument)")
         path = env
     elif path is None and os.path.exists("inputs_varden"):
         path = "inputs_varden"
@@ -65,6 +70,20 @@ def main(argv=None):
             typed[k] = type(cur)(v) if not isinstance(cur, bool) else \
                 v.lower() in ("t", "true", ".true.", "1")
         cfg = dataclasses.replace(cfg, **typed)
+
+    # TPU-first dtype default: the config default is float64 (the
+    # reference's dp_t), but TPU f64 is software-emulated and this image's
+    # remote compiler rejects/crashes on parts of it (f64 LuDecomposition,
+    # nodal-solve SIGILL). When neither the inputs file nor the CLI chose a
+    # dtype, run the f32 TPU-native fast path on TPU backends.
+    if "dtype" not in overrides:
+        from .config import parse_namelist
+        with open(path) as f:
+            raw_keys = parse_namelist(f.read())
+        if "dtype" not in raw_keys and jax.default_backend() != "cpu":
+            print("varden_tpu: float32 fast path on TPU backend "
+                  "(pass --dtype float64 to force reference precision)")
+            cfg = dataclasses.replace(cfg, dtype="float32")
 
     from .driver import Varden
     t0 = time.perf_counter()

@@ -158,6 +158,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     sf_pad = sim.fill_extrap(scal_force, ng)
     mrhs_pad = sim.fill_extrap(mac_rhs, ng)
     mac_pads = embed_faces(sim, umac, ng)
+    scal_force_half = basic.mkscalforce(ext_scal, laps, cfg.diff_coef, 0.0)
     with scope("mkflux_s"):
         if dm == 2:
             sedgex, sedgey, fluxx, fluxy = mf2(
@@ -165,20 +166,22 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                 sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
                 cfg.slope_order, cfg.use_minion)
             sedge, sflux = (sedgex, sedgey), (fluxx, fluxy)
+            snew = basic.update(sold, umac, sedge, sflux, scal_force_half,
+                                dt, dx, is_cons)
         elif fused:
-            sedge, sflux = pallas_godunov.mkflux_3d_fused(
-                s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
-                adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
-                cfg.use_minion)
+            # fused mkflux + update: faces never touch HBM (see
+            # pallas_godunov.mkflux_update_3d_fused)
+            snew = pallas_godunov.mkflux_update_3d_fused(
+                s_pad, mac_pads, sf_pad, scal_force_half, mrhs_pad, dt, dx,
+                sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
+                cfg.slope_order, cfg.use_minion)
         else:
             sedge, sflux = god3.mkflux_3d(
                 s_pad, mac_pads, sf_pad, mrhs_pad, dt, dx, sim.phys_bc,
                 adv_bc_scal, ng, n, False, is_cons, cfg.slope_order,
                 cfg.use_minion)
-
-    scal_force_half = basic.mkscalforce(ext_scal, laps, cfg.diff_coef, 0.0)
-    snew = basic.update(sold, umac, sedge, sflux, scal_force_half, dt, dx,
-                        is_cons)
+            snew = basic.update(sold, umac, sedge, sflux, scal_force_half,
+                                dt, dx, is_cons)
 
     if cfg.diff_coef > 0.0:
         visc_mu = (0.5 * dt * cfg.diff_coef if cfg.diffusion_type == 1
@@ -192,34 +195,37 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
     # ---- velocity advance
     vel_is_cons = [False] * dm
     uf_pad = sim.fill_extrap(vel_force, ng)  # t^n force (visc_fac=1)
+
+    # backward Euler drops the explicit viscous term (advance_timestep.f90:116-120)
+    if cfg.diffusion_type == 2:
+        lapu = jnp.zeros_like(lapu)
+
+    # half-time force: rhohalf density, visc_fac=0 (velocity_advance.f90:86);
+    # the dedicated variant skips the 0*lapu term and the stacked-scalar
+    # copy that s.at[0].set(rhohalf) would materialize
+    vel_force_half = basic.mkvelforce_half(
+        cfg.ext_force, rhohalf, sold[1] if cfg.boussinesq == 1 else None,
+        gp, cfg.boussinesq)
     with scope("mkflux_u"):
         if dm == 2:
             uex, uey, ufx, ufy = mf2(
                 u_pad, mac_pads[0], mac_pads[1], uf_pad, mrhs_pad, dt, dx,
                 sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
                 cfg.slope_order, cfg.use_minion)
-            uedge, uflux = (uex, uey), (ufx, ufy)
+            unew = basic.update(uold, umac, (uex, uey), (ufx, ufy),
+                                vel_force_half, dt, dx, vel_is_cons)
         elif fused:
-            uedge, uflux = pallas_godunov.mkflux_3d_fused(
-                u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
-                adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
-                cfg.use_minion)
+            unew = pallas_godunov.mkflux_update_3d_fused(
+                u_pad, mac_pads, uf_pad, vel_force_half, mrhs_pad, dt, dx,
+                sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
+                cfg.slope_order, cfg.use_minion)
         else:
             uedge, uflux = god3.mkflux_3d(
                 u_pad, mac_pads, uf_pad, mrhs_pad, dt, dx, sim.phys_bc,
                 adv_bc_vel, ng, n, True, vel_is_cons, cfg.slope_order,
                 cfg.use_minion, slopes=u_slopes)
-
-    # backward Euler drops the explicit viscous term (advance_timestep.f90:116-120)
-    if cfg.diffusion_type == 2:
-        lapu = jnp.zeros_like(lapu)
-
-    # half-time force: rhohalf density, visc_fac=0 (velocity_advance.f90:86)
-    s_half = sold.at[0].set(rhohalf)
-    vel_force_half = basic.mkvelforce(cfg.ext_force, s_half, gp, lapu,
-                                      cfg.visc_coef, 0.0, cfg.boussinesq)
-    unew = basic.update(uold, umac, uedge, uflux, vel_force_half, dt, dx,
-                        vel_is_cons)
+            unew = basic.update(uold, umac, uedge, uflux, vel_force_half,
+                                dt, dx, vel_is_cons)
 
     if cfg.visc_coef > 0.0:
         visc_mu = (0.5 * dt * cfg.visc_coef if cfg.diffusion_type == 1

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import projection
@@ -351,9 +352,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
             for d in range(dm):
                 pad = pad_phi(geom, l, [u[d] for u in u_l], ell_bc_vel[d],
                               bv_vel[d], ng=1)
-                beta1 = tuple(jnp.ones(tuple(
-                    geom.specs[l].n[t] + (1 if t == a else 0)
-                    for t in range(dm)), sim.dtype) for a in range(dm))
+                beta1 = (jnp.asarray(1.0, sim.dtype),) * dm
                 comps.append(-mg.apply_padded(
                     pad, jnp.zeros(geom.specs[l].n, sim.dtype), beta1, 0.0,
                     geom.dx(l), dm))
@@ -411,9 +410,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                 bv = [[sim.bvals[comp][t][s2] for s2 in range(2)]
                       for t in range(dm)]
                 pad = pad_phi(geom, l, [s[i] for s in s_l], ell, bv, ng=1)
-                beta1 = tuple(jnp.ones(tuple(
-                    geom.specs[l].n[t] + (1 if t == a else 0)
-                    for t in range(dm)), sim.dtype) for a in range(dm))
+                beta1 = (jnp.asarray(1.0, sim.dtype),) * dm
                 comps.append(-mg.apply_padded(
                     pad, jnp.zeros(geom.specs[l].n, sim.dtype), beta1, 0.0,
                     geom.dx(l), dm))
@@ -429,7 +426,18 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                for l in range(nlev)]
     mrhs_pads = [jnp.zeros_like(s_pads[l][0]) for l in range(nlev)]
 
-    sedge_l, sflux_l = [], []
+    # Scalar update runs with each level's OWN fluxes (fused kernel emits
+    # snew directly); the inter-level conservative flux sync
+    # (ml_edge_restriction_c, mkflux.f90:137-146) is then applied as an
+    # equivalent post-correction: snew += -dt*div(F_synced - F_own), which
+    # is nonzero only on/near faces covered by children. This keeps the
+    # fused path's face arrays out of HBM for the convective components.
+    import numpy as _np
+    cons_idx = _np.asarray([i for i in range(sim.nscal) if is_cons[i]])
+    sf2_l = [basic.mkscalforce(jnp.zeros_like(s_l[l]), laps_l[l],
+                               cfg.diff_coef, 0.0) for l in range(nlev)]
+    snew_l, sflux_own_l = [], []
+    need_flux = nlev > 1 and cons_idx.size > 0
     for l in range(nlev):
         pb = geom.phys_bc_level(l)
         if dm == 2:
@@ -438,29 +446,40 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                 mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_scal, ng,
                 geom.specs[l].n, False, is_cons, cfg.slope_order,
                 cfg.use_minion)
-            sedge_l.append((ex, ey))
-            sflux_l.append((fx, fy))
+            snew_l.append(basic.update(s_l[l], umac_l[l], (ex, ey),
+                                       (fx, fy), sf2_l[l], dt, geom.dx(l),
+                                       is_cons))
+            sflux_own_l.append((fx[cons_idx], fy[cons_idx]))
         elif fused_l[l]:
-            se, sf = pallas_godunov.mkflux_3d_fused(
-                s_pads[l], mac_pads_l[l], sf_pads[l], mrhs_pads[l], dt,
-                geom.dx(l), pb, adv_bc_scal, ng, geom.specs[l].n, False,
-                is_cons, cfg.slope_order, cfg.use_minion)
-            sedge_l.append(se)
-            sflux_l.append(sf)
+            out = pallas_godunov.mkflux_update_3d_fused(
+                s_pads[l], mac_pads_l[l], sf_pads[l], sf2_l[l],
+                mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_scal, ng,
+                geom.specs[l].n, False, is_cons, cfg.slope_order,
+                cfg.use_minion,
+                flux_comps=tuple(cons_idx) if need_flux else ())
+            if need_flux:
+                snew_l.append(out[0])
+                sflux_own_l.append(out[1])
+            else:
+                snew_l.append(out)
+                sflux_own_l.append(None)
         else:
             se, sf = godunov3d.mkflux_3d(
                 s_pads[l], mac_pads_l[l], sf_pads[l], mrhs_pads[l], dt,
                 geom.dx(l), pb, adv_bc_scal, ng, geom.specs[l].n, False,
                 is_cons, cfg.slope_order, cfg.use_minion)
-            sedge_l.append(se)
-            sflux_l.append(sf)
-    sflux_l = flux_sync(geom, sflux_l, is_cons)
-
-    sf2_l = [basic.mkscalforce(jnp.zeros_like(s_l[l]), laps_l[l],
-                               cfg.diff_coef, 0.0) for l in range(nlev)]
-    snew_l = [basic.update(s_l[l], umac_l[l], sedge_l[l], sflux_l[l],
-                           sf2_l[l], dt, geom.dx(l), is_cons)
-              for l in range(nlev)]
+            snew_l.append(basic.update(s_l[l], umac_l[l], se, sf, sf2_l[l],
+                                       dt, geom.dx(l), is_cons))
+            sflux_own_l.append(tuple(sf[d][cons_idx] for d in range(dm)))
+    if need_flux:
+        synced = flux_sync(geom, sflux_own_l, [True] * len(cons_idx))
+        from ..ops.basic import _fdiff
+        for l in range(nlev):
+            if not geom.children[l]:
+                continue  # F_synced == F_own on childless nodes
+            corr = sum(_fdiff(synced[l][d] - sflux_own_l[l][d], d, dm)
+                       / geom.dx(l)[d] for d in range(dm))
+            snew_l[l] = snew_l[l].at[cons_idx].add(-dt * corr)
     snew_l = restrict_and_sync(geom, snew_l)
 
     if cfg.diff_coef > 0.0:
@@ -477,10 +496,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                     rh = rh + visc_mu * laps_l[l][i]
                 rhs_l.append(rh)
                 aco_l.append(jnp.ones(geom.specs[l].n, sim.dtype))
-                beta_l.append(tuple(jnp.full(tuple(
-                    geom.specs[l].n[t] + (1 if t == a else 0)
-                    for t in range(dm)), visc_mu, sim.dtype)
-                    for a in range(dm)))
+                beta_l.append((jnp.asarray(visc_mu, sim.dtype),) * dm)
                 phi0_l.append(snew_l[l][i])
             phis, _ = amr_solve.composite_cc_solve(
                 geom, comp, rhs_l, aco_l, beta_l, 1.0, phi0_l=phi0_l,
@@ -493,64 +509,122 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                  for l in range(nlev)]
 
     # ---- velocity advance
+    # No inter-level flux coupling exists here (the reference's
+    # ml_edge_restriction_c applies to conservative fluxes only;
+    # velocity is convective) — so the fused mkflux+update kernel runs
+    # per level and face arrays never reach HBM.
     vel_is_cons = [False] * dm
-    uedge_l, uflux_l = [], []
+    lapu_pre = lapu_l          # t^n viscous term for the t^n force rebuild
+    if cfg.diffusion_type == 2:
+        lapu_l = [jnp.zeros_like(x) for x in lapu_l]
+    # Rebuild the t^n velocity force AND the ghost pads from barriered
+    # inputs instead of reusing the premac-phase values: the barrier blocks
+    # CSE with the premac computation, so the ~0.9 GB-per-fine-level padded
+    # stacks (and XLA's compressed remat copies of them) die after premac
+    # instead of staying live across the MAC solve and scalar advance —
+    # the liveness that OOMed 256^3 + 2 AMR levels. The barrier also takes
+    # rhohalf (a scalar-advance product), so its outputs CANNOT be
+    # scheduled before the scalar phase completes; the recompute costs one
+    # bandwidth pass over fields that are live anyway (s_old, gp, lapu).
+    u_lb, s_lb, gp_lb, lapu_b, _ = jax.lax.optimization_barrier(
+        (tuple(u_l), tuple(s_l), tuple(gp_l), tuple(lapu_pre),
+         tuple(rhohalf_l)))
+    u_lb = list(u_lb)
+    vf_lb = [basic.mkvelforce(cfg.ext_force, s_lb[l], gp_lb[l], lapu_b[l],
+                              cfg.visc_coef, 1.0, cfg.boussinesq)
+             for l in range(nlev)]
+    u_padsv = [pad_ml_multi(geom, u_lb, vel_comps, l, ng)
+               for l in range(nlev)]
+    vf_padsv = [pad_ml_multi(geom, vf_lb, [sim.extrap_comp] * dm, l, ng)
+                for l in range(nlev)]
+    vfh_l = [basic.mkvelforce_half(
+        cfg.ext_force, rhohalf_l[l],
+        s_l[l][1] if cfg.boussinesq == 1 else None, gp_l[l],
+        cfg.boussinesq) for l in range(nlev)]
+    unew_l = []
     for l in range(nlev):
         pb = geom.phys_bc_level(l)
         if dm == 2:
             ex, ey, fx, fy = pallas_godunov.mkflux_2d_fused(
-                u_pads[l], mac_pads_l[l][0], mac_pads_l[l][1], vf_pads[l],
+                u_padsv[l], mac_pads_l[l][0], mac_pads_l[l][1], vf_padsv[l],
                 mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
                 geom.specs[l].n, True, vel_is_cons, cfg.slope_order,
                 cfg.use_minion)
-            uedge_l.append((ex, ey))
-            uflux_l.append((fx, fy))
+            unew_l.append(basic.update(u_l[l], umac_l[l], (ex, ey),
+                                       (fx, fy), vfh_l[l], dt, geom.dx(l),
+                                       vel_is_cons))
         elif fused_l[l]:
-            se, sf = pallas_godunov.mkflux_3d_fused(
-                u_pads[l], mac_pads_l[l], vf_pads[l], mrhs_pads[l], dt,
-                geom.dx(l), pb, adv_bc_vel, ng, geom.specs[l].n, True,
-                vel_is_cons, cfg.slope_order, cfg.use_minion)
-            uedge_l.append(se)
-            uflux_l.append(sf)
+            unew_l.append(pallas_godunov.mkflux_update_3d_fused(
+                u_padsv[l], mac_pads_l[l], vf_padsv[l], vfh_l[l],
+                mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
+                geom.specs[l].n, True, vel_is_cons, cfg.slope_order,
+                cfg.use_minion))
         else:
             se, sf = godunov3d.mkflux_3d(
-                u_pads[l], mac_pads_l[l], vf_pads[l], mrhs_pads[l], dt,
+                u_padsv[l], mac_pads_l[l], vf_padsv[l], mrhs_pads[l], dt,
                 geom.dx(l), pb, adv_bc_vel, ng, geom.specs[l].n, True,
                 vel_is_cons, cfg.slope_order, cfg.use_minion)
-            uedge_l.append(se)
-            uflux_l.append(sf)
-
-    if cfg.diffusion_type == 2:
-        lapu_l = [jnp.zeros_like(x) for x in lapu_l]
-
-    unew_l = []
-    for l in range(nlev):
-        s_half = s_l[l].at[0].set(rhohalf_l[l])
-        vfh = basic.mkvelforce(cfg.ext_force, s_half, gp_l[l], lapu_l[l],
-                               cfg.visc_coef, 0.0, cfg.boussinesq)
-        unew_l.append(basic.update(u_l[l], umac_l[l], uedge_l[l], uflux_l[l],
-                                   vfh, dt, geom.dx(l), vel_is_cons))
+            unew_l.append(basic.update(u_l[l], umac_l[l], se, sf, vfh_l[l],
+                                       dt, geom.dx(l), vel_is_cons))
 
     if cfg.visc_coef > 0.0:
         visc_mu = (0.5 * dt * cfg.visc_coef if cfg.diffusion_type == 1
                    else dt * cfg.visc_coef)
-        for d in range(dm):
+
+        def beta_for(_l):
+            # scalar (constant-coefficient) beta: mg never materializes
+            # face arrays and the composite reflux uses it directly — at
+            # 384^3 the full(visc_mu) arrays alone were ~0.65 GB/level
+            return (jnp.asarray(visc_mu, sim.dtype),) * dm
+
+        # All velocity components share the Helmholtz operator
+        # (alpha=rhohalf, beta=visc_mu); when the elliptic BC tables agree
+        # (e.g. NO_SLIP walls) ONE batched composite solve replaces dm
+        # sequential ones — the composite cycle's dozens of small kernels
+        # are the latency bottleneck of SMALL AMR steps, and batching
+        # amortizes every one of them over the components
+        # (viscsolve.f90:94-105). On LARGE hierarchies the (dm, *n) solve
+        # stacks triple the phase's footprint for latency that compute
+        # already hides, so batching gates on a cell budget.
+        import math as _math
+        import os as _os
+        cells = sum(_math.prod(s.n) for s in geom.specs)
+        batch_cap = float(_os.environ.get("VARDEN_ML_BATCH_MAX_CELLS",
+                                          "5e7"))
+        ell_same = all(sim.ell_bc[d2] == sim.ell_bc[0] for d2 in range(dm))
+        if ell_same and cells <= batch_cap:
             rhs_l, aco_l, beta_l, phi0_l = [], [], [], []
             for l in range(nlev):
-                rh = unew_l[l][d] * rhohalf_l[l]
+                rh = unew_l[l] * rhohalf_l[l]
                 if cfg.diffusion_type == 1:
-                    rh = rh + visc_mu * lapu_l[l][d]
+                    rh = rh + visc_mu * lapu_l[l]
                 rhs_l.append(rh)
                 aco_l.append(rhohalf_l[l])
-                beta_l.append(tuple(jnp.full(tuple(
-                    geom.specs[l].n[t] + (1 if t == a else 0)
-                    for t in range(dm)), visc_mu, sim.dtype)
-                    for a in range(dm)))
-                phi0_l.append(unew_l[l][d])
+                beta_l.append(beta_for(l))
+                phi0_l.append(unew_l[l])
+            # per-component boundary values ride a leading batch axis
+            bv_b = [[jnp.asarray([bv_vel[c][t][s2] for c in range(dm)],
+                                 sim.dtype).reshape((dm,) + (1,) * dm)
+                     for s2 in range(2)] for t in range(dm)]
             phis, _ = amr_solve.composite_cc_solve(
-                geom, d, rhs_l, aco_l, beta_l, 1.0, phi0_l=phi0_l,
-                bvals=bv_vel[d], rel_eps=sim.eps(1.0e-12))
-            unew_l = [unew_l[l].at[d].set(phis[l]) for l in range(nlev)]
+                geom, 0, rhs_l, aco_l, beta_l, 1.0, phi0_l=phi0_l,
+                bvals=bv_b, rel_eps=sim.eps(1.0e-12))
+            unew_l = [phis[l] for l in range(nlev)]
+        else:
+            for d in range(dm):
+                rhs_l, aco_l, beta_l, phi0_l = [], [], [], []
+                for l in range(nlev):
+                    rh = unew_l[l][d] * rhohalf_l[l]
+                    if cfg.diffusion_type == 1:
+                        rh = rh + visc_mu * lapu_l[l][d]
+                    rhs_l.append(rh)
+                    aco_l.append(rhohalf_l[l])
+                    beta_l.append(beta_for(l))
+                    phi0_l.append(unew_l[l][d])
+                phis, _ = amr_solve.composite_cc_solve(
+                    geom, d, rhs_l, aco_l, beta_l, 1.0, phi0_l=phi0_l,
+                    bvals=bv_vel[d], rel_eps=sim.eps(1.0e-12))
+                unew_l = [unew_l[l].at[d].set(phis[l]) for l in range(nlev)]
         unew_l = restrict_and_sync(geom, unew_l)
 
     # ---- composite nodal projection

@@ -216,10 +216,13 @@ def _nest_into(sim: Sim, lo_f, hi_f, parent: LevelSpec, parent_depth: int):
             # ratio-2 even-index invariant automatically
             if (h2 - l2) % q == 0 and h2 - l2 > 0:
                 l, h = l2, h2
-            else:
-                w = ((h - l) // q) * q
-                if w > 0:
-                    h = l + w
+            # else: keep the UNQUANTIZED extent. Shrinking to the next
+            # multiple of q below could cut tagged cells (plus buffer) out
+            # of the refined region — silently losing resolution where the
+            # error estimator demanded it (the reference's blocking /
+            # max_grid_size quantization never drops tagged cells,
+            # initialize.f90:200). A non-divisible patch merely replicates
+            # on the mesh, which shard_ml_states already warns about.
         lo.append(l)
         hi.append(h)
     return LevelSpec(tuple(lo), tuple(h - l for l, h in zip(lo, hi)))
@@ -282,6 +285,8 @@ def compute_tree(sim: Sim, geom, states: List[State], tags=None):
 
     Returns (specs, parent, depth) lists, depth-sorted (node 0 = root)."""
     buf = max(sim.cfg.amr_buf_width, 2)
+    slack = max(int(getattr(sim.cfg, "regrid_slack", 0)), 0)
+    slack = -(-slack // QUANT) * QUANT if slack else 0  # keep QUANT alignment
     if tags is None:
         tags = compute_tags(sim, geom, states)
     specs = [geom.specs[0]]
@@ -296,6 +301,11 @@ def compute_tree(sim: Sim, geom, states: List[State], tags=None):
         for i in old_nodes:
             cand += _child_boxes(sim, np.asarray(tags[i]), geom.specs[i],
                                  buf)
+        if slack:
+            # grow candidates so the feature can move/expand within the
+            # slack before the next geometry (and XLA retrace) is needed
+            cand = [(np.asarray(lo) - slack, np.asarray(hi) + slack)
+                    for lo, hi in cand]
         cand = _merge_near(cand, MERGE_GAP)
         parents_d = [j for j in range(len(specs)) if depth[j] == d]
         children = {}          # parent node -> list of LevelSpec
@@ -326,6 +336,41 @@ def compute_tree(sim: Sim, geom, states: List[State], tags=None):
         if not added:
             break
     return specs, parent, depth
+
+
+def geom_covers(geom: MLGeom, specs, parent, depth, waste: float) -> bool:
+    """Regrid hysteresis test: the CURRENT hierarchy still serves if every
+    newly computed patch nests inside a current patch of the same depth
+    (the current fine regions cover all tagged+buffered cells) and the
+    current hierarchy is not wastefully large (< waste x the needed fine
+    cells). Keeping the geometry skips both the data move and — the real
+    cost — the XLA retrace of the whole ML step for a new shape key."""
+    import math
+    dm = geom.dm
+    for i in range(1, len(specs)):
+        d = depth[i]
+        lo, hi = specs[i].lo, specs[i].hi
+        ok = False
+        for j in range(1, geom.nlev):
+            if geom.depth[j] != d:
+                continue
+            cl, ch = geom.specs[j].lo, geom.specs[j].hi
+            if all(cl[t] <= lo[t] and hi[t] <= ch[t] for t in range(dm)):
+                ok = True
+                break
+        if not ok:
+            return False
+    ndepth = max([geom.ndepth - 1] + list(depth))
+    for d in range(1, ndepth + 1):
+        need = sum(math.prod(specs[i].n) for i in range(len(specs))
+                   if depth[i] == d)
+        have = sum(math.prod(geom.specs[j].n) for j in range(geom.nlev)
+                   if geom.depth[j] == d)
+        if need > 0 and have > waste * need:
+            return False
+        if need == 0 and have > 0:
+            return False  # feature vanished at this depth: rebuild
+    return True
 
 
 def build_level_data(sim: Sim, old_geom: MLGeom, states: List[State],
@@ -519,10 +564,13 @@ def initialize_fixed(sim: Sim) -> Tuple[MLGeom, List[State]]:
     return geom, states
 
 
-def write_grids(path: str, geom: MLGeom, istep: int):
-    """Append the current box hierarchy (the grdlog of varden.f90:622-663)."""
+def write_grids(path: str, geom: MLGeom, istep: int, compiled: int = None):
+    """Append the current box hierarchy (the grdlog of varden.f90:622-663);
+    ``compiled`` logs the distinct-ML-step compile count (retrace audit)."""
     with open(path, "a") as f:
-        f.write(f"step {istep}: {geom.ndepth} levels, {geom.nlev} boxes\n")
+        extra = "" if compiled is None else f", {compiled} compiled steps"
+        f.write(f"step {istep}: {geom.ndepth} levels, {geom.nlev} boxes"
+                f"{extra}\n")
         for d in range(geom.ndepth):
             for i in geom.nodes_at(d):
                 spec = geom.specs[i]

@@ -32,6 +32,17 @@ from .hierarchy import prolong_cells, prolong_nodes, restrict_cells
 DEFAULT_OUTER = 20
 
 
+def _bcov(arr, cov):
+    """Covered-region index, passing leading batch axes through."""
+    return (slice(None),) * (arr.ndim - len(cov)) + tuple(cov)
+
+
+def _mean_sp(arr, dm):
+    """Mean over the trailing spatial axes (keepdims: broadcasts back)."""
+    ax = tuple(range(arr.ndim - dm, arr.ndim))
+    return jnp.mean(arr, axis=ax, keepdims=True)
+
+
 def _axslice(f, axis, i0, i1):
     sl = [slice(None)] * f.ndim
     sl[axis] = slice(i0, i1)
@@ -177,41 +188,46 @@ def _reflux_correct(geom: MLGeom, ci, res_c, pad_c, pad_f, beta_c, beta_f):
             # r[left of lo-face] += diff ; r[right of hi-face] -= diff
             cell = face_c - 1 if side == 0 else face_c
             sgn = 1.0 if side == 0 else -1.0
-            idx = []
+            lead = res_c.ndim - dm
+            idx = [slice(None)] * lead
             for t in range(dm):
                 if t == d:
                     idx.append(slice(cell, cell + 1))
                 else:
                     idx.append(slice(cl[t], ch[t]))
             res_c = res_c.at[tuple(idx)].add(
-                sgn * jnp.expand_dims(diff, axis=d))
+                sgn * jnp.expand_dims(diff, axis=lead + d))
     return res_c
 
 
 def _slab_cell(pad, d, dm, idx, cl, ch):
     """Cell plane slab from a 1-ghost padded coarse array, cropped to the
-    covered tangential range."""
-    sl = []
+    covered tangential range (leading batch axes pass through)."""
+    lead = pad.ndim - dm
+    sl = [slice(None)] * lead
     for t in range(dm):
         if t == d:
             sl.append(slice(idx, idx + 1))
         else:
             sl.append(slice(cl[t] + 1, ch[t] + 1))
     out = pad[tuple(sl)]
-    return jnp.squeeze(out, axis=d)
+    return jnp.squeeze(out, axis=lead + d)
 
 
 def _fine_plane(pad, d, dm, idx):
-    sl = []
+    lead = pad.ndim - dm
+    sl = [slice(None)] * lead
     for t in range(dm):
         if t == d:
             sl.append(slice(idx, idx + 1))
         else:
             sl.append(slice(1, -1))
-    return jnp.squeeze(pad[tuple(sl)], axis=d)
+    return jnp.squeeze(pad[tuple(sl)], axis=lead + d)
 
 
 def _beta_plane(beta, d, dm, face, cl, ch):
+    if mg._is_scalar_coef(beta[d]):  # constant-coefficient operator
+        return beta[d]
     sl = []
     for t in range(dm):
         if t == d:
@@ -222,6 +238,8 @@ def _beta_plane(beta, d, dm, face, cl, ch):
 
 
 def _beta_plane_full(beta, d, dm, face):
+    if mg._is_scalar_coef(beta[d]):
+        return beta[d]
     sl = []
     for t in range(dm):
         if t == d:
@@ -283,9 +301,11 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         rhs_l = list(rhs_l)
         comp = list(rhs_l)
         for c in range(nlev - 1, 0, -1):
-            comp[geom.parent[c]] = comp[geom.parent[c]].at[
-                covered_slice_rel(geom, c)].set(restrict_cells(comp[c], dm))
-        mu = jnp.mean(comp[0])
+            p_ = geom.parent[c]
+            comp[p_] = comp[p_].at[
+                _bcov(comp[p_], covered_slice_rel(geom, c))].set(
+                    restrict_cells(comp[c], dm))
+        mu = _mean_sp(comp[0], dm)
         rhs_l = [r - mu for r in rhs_l]
 
     def residuals(phis):
@@ -300,7 +320,7 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
             p = geom.parent[c]
             res[p] = _reflux_correct(geom, c, res[p], pads[p], pads[c],
                                      beta_l[p], beta_l[c])
-            cov = covered_slice_rel(geom, c)
+            cov = _bcov(res[p], covered_slice_rel(geom, c))
             res[p] = res[p].at[cov].set(restrict_cells(res[c], dm))
         return res
 
@@ -308,7 +328,7 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         if singular:
             # project out the composite incompatibility (constant) component,
             # exactly as the correction solves do
-            m = jnp.mean(res[0])
+            m = _mean_sp(res[0], dm)
             res = [r - m for r in res]
         return jnp.max(jnp.stack([jnp.max(jnp.abs(r)) for r in res]))
 
@@ -317,8 +337,8 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
 
     def slave(phis):
         for c in range(nlev - 1, 0, -1):
-            cov = covered_slice_rel(geom, c)
             p = geom.parent[c]
+            cov = _bcov(phis[p], covered_slice_rel(geom, c))
             phis[p] = phis[p].at[cov].set(restrict_cells(phis[c], dm))
         return phis
 
@@ -347,20 +367,20 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
             pad_f = pad_corr(geom, c, d[c], ell0, ng=1)
             dres = res[c] - mg.apply_padded(pad_f, aco_l[c], beta_l[c],
                                             alpha, geom.dx(c), dm)
-            cov = covered_slice_rel(geom, c)
+            cov = _bcov(res[p], covered_slice_rel(geom, c))
             res[p] = res[p].at[cov].set(restrict_cells(dres, dm))
             res[p] = _reflux_correct(geom, c, res[p], None,
                                      pad_f, beta_l[p], beta_l[c])
-        r0 = res[0] - jnp.mean(res[0]) if singular else res[0]
+        r0 = res[0] - _mean_sp(res[0], dm) if singular else res[0]
         for _ in range(nv_coarse):
             d[0] = mg.v_cycle(hiers[0], d[0], r0, zb, singular=singular)
         for c in range(1, nlev):
-            cov = covered_slice_rel(geom, c)
+            dp = d[geom.parent[c]]
+            cov = _bcov(dp, covered_slice_rel(geom, c))
             # plain linear prolongation: a slope LIMITER on the correction
             # clamps it at extrema (where the residual concentrates) and
             # measurably weakens per-outer contraction
-            d[c] = d[c] + prolong_cells(d[geom.parent[c]][cov], dm,
-                                        limit=False)
+            d[c] = d[c] + prolong_cells(dp[cov], dm, limit=False)
             pad = pad_phi(geom, c, d, ell0, zb, ng=1)
             rl = res[c] - mg.apply_padded(pad, aco_l[c], beta_l[c], alpha,
                                           geom.dx(c), dm)
@@ -381,7 +401,7 @@ def composite_cc_solve(geom: MLGeom, comp: int, rhs_l, aco_l, beta_l, alpha,
         phis = [p + di for p, di in zip(phis, d)]
         phis = slave(phis)
         if singular:
-            m = jnp.mean(phis[0])
+            m = _mean_sp(phis[0], dm)
             phis = [p - m for p in phis]
         res = residuals(phis)
         return tuple(phis), tuple(res), k + 1, resnorm(res)

@@ -136,6 +136,16 @@ class VardenConfig:
     # XLA's SPMD partitioner inserts the halo exchanges and reductions.
     mesh: int = 0
 
+    # Regrid hysteresis (retrace bounding): candidate fine patches grow by
+    # this many fine cells per side before nesting, and a regrid KEEPS the
+    # current hierarchy while the new (grown) patches still nest inside it
+    # and it wastes < regrid_waste x the needed cells. Every distinct
+    # hierarchy shape costs an XLA retrace of the whole ML step; slack +
+    # hysteresis bound that the way max_grid_size blocking bounds box churn
+    # in the reference (initialize.f90:200). 0 disables.
+    regrid_slack: int = 8
+    regrid_waste: float = 2.5
+
     # Guard under-converged projection exits: warn when a MAC/HG solve
     # returns with residual > solver_guard x its effective tolerance
     # (0 disables; negative raises instead of warning). The reference's

@@ -30,12 +30,34 @@ class Varden:
         self.istep = 0
         self.ml = cfg.max_levs > 1
         self.geom = None          # MLGeom in multi-level mode
-        self._ml_cache = {}       # (specs, proj_type) -> jitted step
+        self._ml_cache = {}       # (specs, proj_type) -> jitted step (LRU)
+        self._ml_cache_cap = int(
+            __import__("os").environ.get("VARDEN_ML_CACHE_CAP", "24"))
+        self._ml_compile_count = 0
         sim = self.sim
+
+        def _step_impl(st, dt, h, _pt):
+            """Hint rotation INSIDE jit so donated input buffers alias the
+            outputs: old-state (4.2 GB at 256^3+AMR) and hint buffers are
+            reused for the new state instead of doubling residency."""
+            new_state, diag = advance.advance_timestep(sim, st, dt, _pt,
+                                                       hints=h)
+            new_h = {"phi_mac": diag.pop("phi_mac"),
+                     "phi_mac_prev": h["phi_mac"],
+                     "phi_hg": diag.pop("phi_hg"),
+                     "phi_hg_prev": h["phi_hg"]}
+            return new_state, new_h, diag
+
+        # REGULAR_TIMESTEP donates (state, hints); PRESSURE_ITERS must not
+        # (initialize() reads state.u/state.s after the call)
         self._step = {
-            pt: jax.jit(lambda st, dt, h, _pt=pt: advance.advance_timestep(
-                sim, st, dt, _pt, hints=h))
-            for pt in (projection.REGULAR_TIMESTEP, projection.PRESSURE_ITERS)
+            projection.REGULAR_TIMESTEP: jax.jit(
+                functools.partial(_step_impl,
+                                  _pt=projection.REGULAR_TIMESTEP),
+                donate_argnums=(0, 2)),
+            projection.PRESSURE_ITERS: jax.jit(
+                functools.partial(_step_impl,
+                                  _pt=projection.PRESSURE_ITERS)),
         }
         self._hints = None
         self._ml_hints = None     # per-level projection warm starts
@@ -48,6 +70,9 @@ class Varden:
         self.mesh = None
         if cfg.mesh > 0:
             from .parallel import mesh as pmesh
+            # multi-host: join the cluster first (MPI_Init role, main.f90:13)
+            # so jax.devices() below is the GLOBAL device list
+            pmesh.maybe_init_distributed()
             nd = len(jax.devices())
             if cfg.mesh > nd:
                 import warnings
@@ -70,14 +95,109 @@ class Varden:
 
     # -- multi-level helpers -------------------------------------------
     def _ml_step_fn(self, proj_type):
+        """Jitted ML step: (states, dt, hints) -> (states, hints, diag) with
+        the warm-start rotation inside jit. REGULAR_TIMESTEP donates
+        (states, hints) so old-state buffers alias the new state's."""
         from .amr import advance_ml
         key = (self.geom.key(), proj_type)
         if key not in self._ml_cache:
             geom = self.geom
-            self._ml_cache[key] = jax.jit(
-                lambda states, dt, hints, _g=geom, _pt=proj_type:
-                    advance_ml.ml_advance(_g, states, dt, _pt, hints=hints))
+
+            def impl(states, dt, hints, _g=geom, _pt=proj_type):
+                new_states, diag = advance_ml.ml_advance(_g, states, dt, _pt,
+                                                         hints=hints)
+                new_h = {"phi_mac": diag.pop("phi_mac"),
+                         "phi_hg": diag.pop("phi_hg")}
+                if "phi_mac_prev" in hints:  # extrapolating warm starts
+                    new_h["phi_mac_prev"] = hints["phi_mac"]
+                    new_h["phi_hg_prev"] = hints["phi_hg"]
+                return new_states, new_h, diag
+
+            donate = ((0, 2) if proj_type == projection.REGULAR_TIMESTEP
+                      else ())
+            self._ml_cache[key] = jax.jit(impl, donate_argnums=donate)
+            self._ml_compile_count += 1
+            # bound the cache (each entry pins a compiled executable for a
+            # hierarchy shape; regrid slack/hysteresis keeps the shape
+            # space small, this is the backstop for adversarial churn)
+            while len(self._ml_cache) > self._ml_cache_cap:
+                self._ml_cache.pop(next(iter(self._ml_cache)))
         return self._ml_cache[key]
+
+    def _ml_compiles(self):
+        """Distinct ML step compilations so far (grids-log observability)."""
+        return self._ml_compile_count
+
+    def _ml_chunk_fn(self, k):
+        """K regular ML steps as ONE jitted lax.scan (fixed geometry, no
+        regrid/I-O inside): per-step dt re-estimation (varden.f90:302-318)
+        and warm-start rotation run on-device, so a chunk costs one
+        dispatch instead of 2-3 per step — the fix for dispatch-latency-
+        bound small AMR steps (BASELINE config 3). stop_time clipping is
+        the caller's job (chunks are used between regrid boundaries)."""
+        from .amr import advance_ml
+        key = (self.geom.key(), "chunk", k)
+        if key not in self._ml_cache:
+            geom = self.geom
+            cfg = self.cfg
+            sim = self.sim
+
+            def body(carry, _):
+                states, hints, dt, t = carry
+                dt = advance_ml.ml_estdt(geom, states, dt)
+                if cfg.fixed_dt > 0.0:
+                    dt = jnp.asarray(cfg.fixed_dt, sim.dtype)
+                new_states, diag = advance_ml.ml_advance(
+                    geom, states, dt, projection.REGULAR_TIMESTEP,
+                    hints=hints)
+                new_h = {"phi_mac": diag.pop("phi_mac"),
+                         "phi_hg": diag.pop("phi_hg")}
+                if "phi_mac_prev" in hints:
+                    new_h["phi_mac_prev"] = hints["phi_mac"]
+                    new_h["phi_hg_prev"] = hints["phi_hg"]
+                return (new_states, new_h, dt, t + dt), diag
+
+            def fn(states, hints, dt, t):
+                carry, diags = jax.lax.scan(body, (states, hints, dt, t),
+                                            None, length=k)
+                states, hints, dt, t = carry
+                return states, hints, dt, t, diags
+
+            self._ml_cache[key] = jax.jit(fn, donate_argnums=(0, 1))
+            self._ml_compile_count += 1
+            while len(self._ml_cache) > self._ml_cache_cap:
+                self._ml_cache.pop(next(iter(self._ml_cache)))
+        return self._ml_cache[key]
+
+    def step_ml_chunk(self, states, k):
+        """Advance k regular steps in one dispatch (see _ml_chunk_fn).
+        Caller guarantees istep >= 1 and no regrid due within the chunk."""
+        from .amr import regrid as regrid_mod
+        cfg = self.cfg
+        if self._ml_hints is None:
+            self._ml_hints = self._zero_ml_hints()
+        dt = jnp.asarray(self.dt, self.sim.dtype)
+        t = jnp.asarray(self.time, self.sim.dtype)
+        states, self._ml_hints, dt, t, diags = self._ml_chunk_fn(k)(
+            states, self._ml_hints, dt, t)
+        self.istep += k
+        if self.bench_async:
+            self.dt, self.time = dt, t
+        else:
+            self.dt, self.time = float(dt), float(t)
+        self.last_diag = {kk: v[-1] for kk, v in diags.items()}
+        nxt = self.istep + 1
+        if cfg.regrid_int > 0 and not cfg.fixed_grids and nxt > 1 \
+                and (nxt - 1) % cfg.regrid_int == 0:
+            self._tag_prefetch = (self.geom.key(),
+                                  regrid_mod.compute_tags(self.sim,
+                                                          self.geom, states))
+        if not self.bench_async:
+            self._check_solver_health(self.last_diag)
+            print(f"STEP = {self.istep:4d}  TIME = {self.time:14.10f}  "
+                  f"DT = {self.dt:14.9f}  (chunk of {k}; levels: "
+                  f"{[s.n for s in self.geom.specs]})")
+        return states
 
     def _ml_estdt_fn(self):
         """Jitted per-geometry dt estimate: the eager per-level reduction is
@@ -92,6 +212,18 @@ class Varden:
                     advance_ml.ml_estdt(_g, states, dtold))
         return self._ml_cache[key]
 
+    def _hints_have_prev(self):
+        """Whether ML hints carry the *_prev extrapolation pair: dropped on
+        large hierarchies (~0.7 GB of per-step arguments at 256^3+2 levels)
+        so the flagship AMR scale fits the 16 GB chip; plain warm starts
+        remain. Decided per geometry (pytree structure must be
+        step-invariant between regrids)."""
+        import math
+        cells = sum(math.prod(s.n) for s in self.geom.specs)
+        cap = float(__import__("os").environ.get(
+            "VARDEN_WARM_EXTRAP_MAX_CELLS", "5e7"))
+        return cells <= cap
+
     def _zero_ml_hints(self):
         from .solvers import nodal
         sim, geom = self.sim, self.geom
@@ -101,9 +233,22 @@ class Varden:
         z_hg = [jnp.zeros(nodal.node_shape(geom.specs[l].n, pm[l]),
                           sim.dtype) for l in range(geom.nlev)]
         # prevs included so the hints pytree structure is step-invariant
-        # (a step-2 structure change would retrace the whole ML step)
-        hints = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
-                 "phi_hg": z_hg, "phi_hg_prev": z_hg}
+        # (a step-2 structure change would retrace the whole ML step).
+        # On LARGE hierarchies the prev pair (the linear warm-start
+        # extrapolation's history) costs ~0.7 GB of per-step arguments at
+        # 256^3+2 levels; above the cell budget the hints carry only the
+        # last solution (plain warm start) so the flagship AMR scale fits
+        # the 16 GB chip. Decided per geometry -> structure stays
+        # step-invariant between regrids.
+        if self._hints_have_prev():
+            # prev gets its OWN buffers: the regular step donates the whole
+            # hints dict, and donating one buffer twice is an error
+            hints = {"phi_mac": z_mac,
+                     "phi_mac_prev": [jnp.zeros_like(z) for z in z_mac],
+                     "phi_hg": z_hg,
+                     "phi_hg_prev": [jnp.zeros_like(z) for z in z_hg]}
+        else:
+            hints = {"phi_mac": z_mac, "phi_hg": z_hg}
         if self.mesh is not None:
             from .parallel import mesh as pmesh
             hints = pmesh.shard_ml_hints(geom, hints, self.mesh)
@@ -154,12 +299,8 @@ class Varden:
         for _ in range(cfg.init_iter):
             if self._ml_hints is None:
                 self._ml_hints = self._zero_ml_hints()
-            st2, diag = self._ml_step_fn(projection.PRESSURE_ITERS)(
-                states, self.dt, self._ml_hints)
-            self._ml_hints = {"phi_mac": diag["phi_mac"],
-                              "phi_mac_prev": self._ml_hints["phi_mac"],
-                              "phi_hg": diag["phi_hg"],
-                              "phi_hg_prev": self._ml_hints["phi_hg"]}
+            st2, self._ml_hints, _diag = self._ml_step_fn(
+                projection.PRESSURE_ITERS)(states, self.dt, self._ml_hints)
             states = [State(u=states[l].u, s=states[l].s,
                             gp=st2[l].gp, p=st2[l].p)
                       for l in range(len(states))]
@@ -179,7 +320,10 @@ class Varden:
                 self.sim, self.geom, states, tags=tags)
             from .amr.fill import MLGeom
             new_geom = MLGeom(self.sim, specs, parent, depth)
-            if new_geom.key() != self.geom.key():
+            keep = (new_geom.key() == self.geom.key()
+                    or (cfg.regrid_slack > 0 and regrid_mod.geom_covers(
+                        self.geom, specs, parent, depth, cfg.regrid_waste)))
+            if not keep:
                 states = regrid_mod.build_level_data(self.sim, self.geom,
                                                      states, new_geom)
                 self.geom = new_geom
@@ -187,7 +331,8 @@ class Varden:
                 self._ml_hints = None  # shapes changed; cold-start solves
                 if cfg.grids_file_name:
                     regrid_mod.write_grids(cfg.grids_file_name, self.geom,
-                                           self.istep)
+                                           self.istep,
+                                           compiled=self._ml_compiles())
         if self.istep > 1:
             dtold = self.dt
             dt_new = self._ml_estdt_fn()(
@@ -206,12 +351,8 @@ class Varden:
                 self.dt = cfg.stop_time - self.time
         if self._ml_hints is None:
             self._ml_hints = self._zero_ml_hints()
-        states, diag = self._ml_step_fn(projection.REGULAR_TIMESTEP)(
-            states, self.dt, self._ml_hints)
-        self._ml_hints = {"phi_mac": diag["phi_mac"],
-                          "phi_mac_prev": self._ml_hints["phi_mac"],
-                          "phi_hg": diag["phi_hg"],
-                          "phi_hg_prev": self._ml_hints["phi_hg"]}
+        states, self._ml_hints, diag = self._ml_step_fn(
+            projection.REGULAR_TIMESTEP)(states, self.dt, self._ml_hints)
         self.time += self.dt
         self.last_diag = diag
         # the NEXT step regrids from exactly this post-step state: compute
@@ -241,12 +382,20 @@ class Varden:
             self.time, self.dt = header["time"], header["dt"]
             self.istep = header["istep"]
             if hints is not None:
+                # conform to this run's hint structure (the large-hierarchy
+                # memory cap may omit the *_prev extrapolation pair)
+                if not self._hints_have_prev():
+                    hints = {k: v for k, v in hints.items()
+                             if not k.endswith("_prev")}
                 self._ml_hints = hints
             states = self._shard_ml(states)
         else:
             states = self.initialize_ml()
 
         def write(states, final=False):
+            from .parallel.mesh import is_io_proc
+            if not is_io_proc():  # rank-0 I/O (parallel_IOProcessor role)
+                return
             due_p = cfg.plot_int > 0 and self.istep % cfg.plot_int == 0
             due_c = cfg.chk_int > 0 and self.istep % cfg.chk_int == 0
             # a run ending off-cadence still writes its final state
@@ -275,8 +424,9 @@ class Varden:
         sim = self.sim
         z_mac = jnp.zeros(sim.n_cell, sim.dtype)
         z_hg = jnp.zeros(sim.node_shape(), sim.dtype)
-        hints = {"phi_mac": z_mac, "phi_mac_prev": z_mac,
-                 "phi_hg": z_hg, "phi_hg_prev": z_hg}
+        # distinct prev buffers: the regular step donates the dict
+        hints = {"phi_mac": z_mac, "phi_mac_prev": jnp.zeros_like(z_mac),
+                 "phi_hg": z_hg, "phi_hg_prev": jnp.zeros_like(z_hg)}
         if self.mesh is not None:
             from .parallel import mesh as pmesh
             hints = pmesh.shard_hints(hints, sim, self.mesh)
@@ -300,12 +450,8 @@ class Varden:
             # initial pressure iterations (varden.f90:460-490)
             hints = self._zero_hints()
             for _ in range(cfg.init_iter):
-                st2, diag = self._step[projection.PRESSURE_ITERS](
+                st2, hints, _diag = self._step[projection.PRESSURE_ITERS](
                     state, self.dt, hints)
-                hints = {"phi_mac": diag["phi_mac"],
-                         "phi_mac_prev": hints["phi_mac"],
-                         "phi_hg": diag["phi_hg"],
-                         "phi_hg_prev": hints["phi_hg"]}
                 state = State(u=state.u, s=state.s, gp=st2.gp, p=st2.p)
             self._hints = hints
         return state
@@ -323,12 +469,8 @@ class Varden:
                 self.dt = cfg.stop_time - self.time
         if self._hints is None:
             self._hints = self._zero_hints()
-        state, diag = self._step[projection.REGULAR_TIMESTEP](
+        state, self._hints, diag = self._step[projection.REGULAR_TIMESTEP](
             state, self.dt, self._hints)
-        self._hints = {"phi_mac": diag["phi_mac"],
-                       "phi_mac_prev": self._hints["phi_mac"],
-                       "phi_hg": diag["phi_hg"],
-                       "phi_hg_prev": self._hints["phi_hg"]}
         self.time += self.dt
         self.last_diag = diag
         self._check_solver_health(diag)
@@ -424,6 +566,9 @@ class Varden:
         from .io import output
 
         def write(v, state, final=False):
+            from .parallel.mesh import is_io_proc
+            if not is_io_proc():  # rank-0 I/O (parallel_IOProcessor role)
+                return
             cfg = v.cfg
             due_p = cfg.plot_int > 0 and v.istep % cfg.plot_int == 0
             due_c = cfg.chk_int > 0 and v.istep % cfg.chk_int == 0

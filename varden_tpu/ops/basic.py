@@ -84,6 +84,19 @@ def mkvelforce(ext_force: Sequence[float], s: jnp.ndarray, gp: jnp.ndarray,
     return ext + (visc_coef * visc_fac * lapu - gp) / rho
 
 
+def mkvelforce_half(ext_force: Sequence[float], rho: jnp.ndarray,
+                    trac, gp: jnp.ndarray, boussinesq: int) -> jnp.ndarray:
+    """mkvelforce at visc_fac = 0 (the half-time force of
+    velocity_advance.f90:86): ext(*tracer if boussinesq) - gp/rho with
+    rho = rhohalf. Identical to mkvelforce(..., visc_fac=0.0, ...) — the
+    lapu term is exactly 0*lapu — but never touches lapu or the stacked
+    old-scalar array (donation keeps the old state buffer free)."""
+    ext = jnp.stack([jnp.full_like(rho, f) for f in ext_force])
+    if boussinesq == 1:
+        ext = trac * ext
+    return ext - gp / rho
+
+
 def mkscalforce(ext_force: jnp.ndarray, laps: jnp.ndarray, diff_coef: float,
                 diff_fac: float) -> jnp.ndarray:
     """Scalar forcing: ext + diff_fac*diff_coef*laps for tracers; density

@@ -544,6 +544,287 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
 
 
 # ---------------------------------------------------------------------------
+# fused mkflux + update
+# ---------------------------------------------------------------------------
+#
+# The conservative/convective update (src/update.f90:186-278) consumes ONLY
+# tile-local data the mkflux kernel already holds in VMEM: the three edge
+# state/flux face sets, the MAC faces, sold (the interior of the haloed s
+# block) and the half-time force. Fusing it into the kernel epilogue turns
+# mkflux's SIX n^3-sized face outputs (plus the separate update pass that
+# re-read them all) into ONE cell-centered output per component: snew.
+# At 256^3 that removes ~2/3 of the Godunov phase's HBM traffic and the
+# entire face-array stitch (the 6x ~0.5 GB concatenate temps that OOMed the
+# 3-level 256^3 config).
+
+def _update_vals(sold, umac, sedge, sflux, fupd, dt, dx, is_cons):
+    """The update math on plain arrays (bitwise the jnp branch of
+    basic.update; reference update_3d, src/update.f90:186-278)."""
+    dm = len(umac)
+    from .basic import _fdiff, _fmean
+    ubar = [_fmean(umac[d], d, dm) for d in range(dm)]
+    out = []
+    for c in range(sold.shape[0]):
+        if is_cons[c]:
+            adv = sum(_fdiff(sflux[d][c], d, dm) / dx[d] for d in range(dm))
+        else:
+            adv = sum(ubar[d] * _fdiff(sedge[d][c], d, dm) / dx[d]
+                      for d in range(dm))
+        out.append(sold[c] - dt * adv + dt * fupd[c])
+    return jnp.stack(out)
+
+
+def _mac_interior(macs, ng, n_cell):
+    """Interior MAC faces from the cell-aligned padded arrays."""
+    out = []
+    for d in range(3):
+        sl = tuple(slice(ng, ng + n_cell[t] + (1 if t == d else 0))
+                   for t in range(3))
+        out.append(macs[d][sl])
+    return out
+
+
+def _mkflux_update_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref,
+                          fupd_ref, scal_ref, snew_ref, *out_refs,
+                          dx, ng, tx, ty, tz, phys_bc, adv_bc, is_vel,
+                          is_cons, slope_order, use_minion, bc_sides,
+                          flux_idx=(), yface=0):
+    """snew per tile; with ``flux_idx`` also emits the conservative fluxes
+    (fx/fy/fz out_refs) for the AMR flux registers (ml_edge_restriction_c,
+    mkflux.f90:137-146)."""
+    cut = (slice(None), slice(None), slice(0, ty + 2 * ng), slice(None))
+    s = s_ref[cut]
+    f = f_ref[cut]
+    cut3 = cut[1:]
+    macs = [mx_ref[cut3], my_ref[cut3], mz_ref[cut3]]
+    rhs = rhs_ref[cut3]
+    dt = scal_ref[0]
+    eps = scal_ref[1]
+    n_cell = (tx, ty, tz)
+    sedge, sflux = godunov3d.mkflux_3d(
+        s, macs, f, rhs, dt, dx, phys_bc, adv_bc, ng,
+        n_cell, is_vel, is_cons, slope_order, use_minion, bc_sides=bc_sides,
+        eps=eps)
+    umac = _mac_interior(macs, ng, n_cell)
+    sold = s[(slice(None),) + tuple(slice(ng, ng + n_cell[t])
+                                    for t in range(3))]
+    snew_ref[...] = _update_vals(sold, umac, sedge, sflux, fupd_ref[...],
+                                 dt, dx, is_cons)
+    if flux_idx:
+        # static per-row selection (an index ARRAY would be captured as a
+        # kernel constant, which pallas_call rejects)
+        fx_ref, fy_ref, fz_ref = out_refs
+        fx_ref[...] = jnp.stack([sflux[0][i] for i in flux_idx])[:, :tx]
+        fy_ref[...] = jnp.stack([sflux[1][i]
+                                 for i in flux_idx])[:, :, :ty + yface]
+        fz_ref[...] = jnp.stack([sflux[2][i] for i in flux_idx])
+
+
+def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
+                           phys_bc, adv_bc, ng, n_cell, is_vel,
+                           is_conservative, slope_order, use_minion, *,
+                           flux_comps=(), interpret=False):
+    """Fused mkflux + conservative/convective update. ``fupd`` is the
+    interior (nc, *n) update-time force (visc_fac/diff_fac = 0 variant,
+    velocity_advance.f90:86 / scalar_advance.f90:112); returns snew
+    (nc, *n_cell) == basic.update(sold, umac, mkflux(...), fupd, ...).
+
+    ``flux_comps``: component indices whose conservative fluxes the AMR
+    flux registers need (ml_edge_restriction_c); when non-empty, returns
+    (snew, sflux) with sflux[d] of shape (len(flux_comps), faces)."""
+    nc = s.shape[0]
+    n0, n1, n2 = n_cell
+    dtype = s.dtype
+    flux_comps = tuple(flux_comps)
+
+    macw = mac_wins(mac_pads, ng, n_cell)
+    umax = jnp.max(jnp.stack([jnp.max(jnp.abs(m.arr)) for m in macw]))
+    eps = jnp.where(umax == 0.0, ABS_EPS, ABS_EPS * umax)
+
+    def fallback():
+        sedge, sflux = godunov3d.mkflux_3d(
+            s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc, ng,
+            n_cell, is_vel, is_conservative, slope_order, use_minion,
+            eps=eps)
+        umac = _mac_interior(mac_pads, ng, n_cell)
+        sold = s[(slice(None),) + tuple(slice(ng, ng + n_cell[t])
+                                        for t in range(3))]
+        snew = _update_vals(sold, umac, sedge, sflux, fupd, dt, dx,
+                            is_conservative)
+        if flux_comps:
+            import numpy as _np
+            ci = _np.asarray(flux_comps)
+            return snew, tuple(sflux[d][ci] for d in range(3))
+        return snew
+
+    batch = os.environ.get("VARDEN_MKFLUX_BATCH", "1") != "0"
+    pb = _Plan(n_cell, ng, heavy=True, nc=nc) if batch and nc > 1 else None
+    if pb is not None and pb.ok and pb.tx >= 8:
+        p = pb
+        groups = [list(range(nc))]
+    else:
+        p = _Plan(n_cell, ng, heavy=True)
+        groups = [[c] for c in range(nc)]
+    if not p.ok:
+        return fallback()
+
+    scal = jnp.stack([jnp.asarray(dt, dtype), eps.astype(dtype)])
+    cp = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    pbc = tuple(tuple(b) for b in phys_bc)
+    yoff = p.yl // TY
+
+    def call(ins, grp, ty, adv_k, bc_sides, yface, grid2):
+        ncg = len(grp)
+        fidx = tuple(i for i, c in enumerate(grp) if c in flux_comps)
+        nf = len(fidx)
+        kern = functools.partial(
+            _mkflux_update_kernel, dx=tuple(dx), ng=ng, tx=p.tx, ty=ty,
+            tz=p.tz, phys_bc=pbc, adv_bc=adv_k, is_vel=is_vel,
+            is_cons=tuple(is_conservative[c] for c in grp),
+            slope_order=slope_order, use_minion=use_minion,
+            bc_sides=bc_sides, flux_idx=fidx, yface=yface)
+        if grid2:
+            # interior force block: element-indexed (the x offset SLAB is
+            # not a tile multiple), y offset keeps the multiply outermost
+            fspec = pl.BlockSpec(
+                (pl.Element(ncg), pl.Element(p.tx), pl.Element(TY),
+                 pl.Element(p.tz)),
+                lambda i, j: (0, p.xl + i * p.tx, (j + yoff) * TY, 0),
+                memory_space=pltpu.VMEM)
+            grid = (p.nxt, p.nyt)
+            in_specs = [_in_spec(p, ncg), _in_spec(p), _in_spec(p),
+                        _in_spec(p), _in_spec(p, ncg), _in_spec(p), fspec,
+                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+            out_specs = [_out_spec(p, ncg)]
+            out_shape = [_out_shape(p, dtype, ncg)]
+            if nf:
+                out_specs += [_out_spec(p, nf), _out_spec(p, nf),
+                              _out_spec(p, nf, zfaces=True)]
+                out_shape += [_out_shape(p, dtype, nf),
+                              _out_shape(p, dtype, nf),
+                              _out_shape(p, dtype, nf, zfaces=True)]
+        else:
+            grid = (p.nxt,)
+            ybs = ty + 2 * ng
+
+            def espec(lead=None):
+                dims = ([] if lead is None else [pl.Element(lead)]) + [
+                    pl.Element(p.xb), pl.Element(ybs), pl.Element(p.zb)]
+                if lead is None:
+                    idx = lambda i: (p.xl + i * p.tx, 0, 0)
+                else:
+                    idx = lambda i: (0, p.xl + i * p.tx, 0, 0)
+                return pl.BlockSpec(tuple(dims), idx,
+                                    memory_space=pltpu.VMEM)
+
+            fspec = pl.BlockSpec(
+                (pl.Element(ncg), pl.Element(p.tx), pl.Element(ty),
+                 pl.Element(p.tz)),
+                lambda i: (0, p.xl + i * p.tx, 0, 0),
+                memory_space=pltpu.VMEM)
+            in_specs = [espec(ncg), espec(), espec(), espec(), espec(ncg),
+                        espec(), fspec,
+                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+            def ospec(lead, yr, zf=0):
+                return pl.BlockSpec((lead, p.tx, yr, p.tz + zf),
+                                    lambda i: (0, i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            def oshape(lead, yr, zf=0):
+                return jax.ShapeDtypeStruct((lead, p.nxi, yr, p.tz + zf),
+                                            dtype)
+
+            out_specs = [ospec(ncg, ty)]
+            out_shape = [oshape(ncg, ty)]
+            if nf:
+                out_specs += [ospec(nf, ty), ospec(nf, ty + yface),
+                              ospec(nf, ty, 1)]
+                out_shape += [oshape(nf, ty), oshape(nf, ty + yface),
+                              oshape(nf, ty, 1)]
+        res = pl.pallas_call(
+            kern, grid=grid, out_shape=out_shape, in_specs=in_specs,
+            out_specs=out_specs, compiler_params=cp, interpret=interpret,
+        )(*ins)
+        return res if nf else (res[0],)
+
+    outs_c, slab_c = [], []
+    for grp in groups:
+        ncg = len(grp)
+        adv_g = tuple(tuple(tuple(a) for a in adv_bc[c]) for c in grp)
+        gs = slice(grp[0], grp[-1] + 1)
+        ins = (s[gs], mac_pads[0], mac_pads[1], mac_pads[2], force[gs],
+               mac_rhs, fupd[gs], scal)
+        outs_c.append(call(ins, grp, TY, _interior_adv_bc(adv_g, ncg), BC_Z,
+                           0, True))
+        per_side = {}
+        for side, ty in ((0, p.yl), (1, p.yh)):
+            ins_s = []
+            for ai, a in enumerate(ins):
+                if ai == 6:  # fupd: interior-sized, slice rows w/o halo
+                    n1_ = a.shape[2]
+                    ins_s.append(_take(a, 2, slice(0, ty) if side == 0
+                                       else slice(n1_ - ty, n1_)))
+                elif a.ndim >= 3:
+                    ins_s.append(_yslab_take(a, side, ty, ng, a.ndim - 3))
+                else:
+                    ins_s.append(a)
+            bcs = frozenset({(1, side)} | BC_Z)
+            per_side[side] = call(tuple(ins_s), grp, ty,
+                                  _y_slab_adv_bc(adv_g, side, ncg), bcs,
+                                  1 if side == 1 else 0, False)
+        slab_c.append(per_side)
+
+    def cat(i):
+        # i=0: snew from every group; i>=1: flux outputs exist only for
+        # groups containing flux_comps members
+        parts = [o[i] for o in outs_c if len(o) > i]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def cat_slab(side, i):
+        parts = [sc[side][i] for sc in slab_c if len(sc[side]) > i]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def xslab(side, width):
+        i0 = 0 if side == 0 else n0 - width
+        ss = _crop_pad(s, 0, i0, i0 + width, ng)
+        ms = [_crop_pad(m, 0, i0, i0 + width, ng) for m in mac_pads]
+        fs = _crop_pad(force, 0, i0, i0 + width, ng)
+        rs = _crop_pad(mac_rhs, 0, i0, i0 + width, ng)
+        ncs = (width, n1, n2)
+        sedge, sflux = godunov3d.mkflux_3d(
+            ss, ms, fs, rs, dt, dx, phys_bc,
+            _slab_adv_bc(adv_bc, 0, side, nc), ng, ncs, is_vel,
+            is_conservative, slope_order, use_minion,
+            bc_sides=_slab_bc_sides(0, side), eps=eps)
+        umac = _mac_interior(ms, ng, ncs)
+        sold = ss[(slice(None),) + tuple(slice(ng, ng + ncs[t])
+                                         for t in range(3))]
+        fu = _take(fupd, 1, slice(i0, i0 + width))
+        snew = _update_vals(sold, umac, sedge, sflux, fu, dt, dx,
+                            is_conservative)
+        if flux_comps:
+            import numpy as _np
+            ci = _np.asarray(flux_comps)
+            return snew, tuple(sflux[d][ci] for d in range(3))
+        return snew, None
+
+    xlo, xhi = xslab(0, p.xl), xslab(1, p.xh)
+    slabs = {(0, 0): xlo[0], (0, 1): xhi[0],
+             (1, 0): cat_slab(0, 0), (1, 1): cat_slab(1, 0)}
+    snew = _stitch(cat(0), slabs, p, -1, 1)
+    if not flux_comps:
+        return snew
+    sflux = tuple(
+        _stitch(cat(1 + d),
+                {(0, 0): xlo[1][d], (0, 1): xhi[1][d],
+                 (1, 0): cat_slab(0, 1 + d), (1, 1): cat_slab(1, 1 + d)},
+                p, d, 1)
+        for d in range(3))
+    return snew, sflux
+
+
+# ---------------------------------------------------------------------------
 # 2-D whole-grid kernels
 # ---------------------------------------------------------------------------
 #

@@ -20,6 +20,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..state import Sim, State
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host (DCN) entry: the reference's MPI_Init role (main.f90:13,
+    FBoxLib boxlib_initialize). Gated on the standard JAX cluster env —
+    JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES / JAX_PROCESS_ID,
+    else auto-detected from the cluster environment) — or
+    VARDEN_COORDINATOR; a no-op on single-host runs. After initialization
+    ``jax.devices()`` is the GLOBAL device list, so make_mesh/pjit span
+    hosts and XLA routes inter-host collectives over DCN. Rank-0 file
+    output gates on ``is_io_proc()`` (parallel_IOProcessor role).
+
+    Scope note: exercised in single-process form in CI; real multi-host
+    DCN runs need a TPU pod slice this image does not have."""
+    import os
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("VARDEN_COORDINATOR"))
+    if not addr:
+        return False
+    if jax.process_count() > 1:
+        return True  # already initialized
+    kwargs = {"coordinator_address": addr}
+    num = int(os.environ.get("JAX_NUM_PROCESSES", "0"))
+    if num > 0:
+        kwargs["num_processes"] = num
+        kwargs["process_id"] = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def is_io_proc() -> bool:
+    """parallel_IOProcessor() equivalent (rank-0 I/O gating)."""
+    return jax.process_index() == 0
+
+
 def mesh_shape(n: int) -> Tuple[int, int]:
     """The (mx, my) factoring make_mesh uses: as square as possible.
     Exposed separately so the regridder can quantize patch extents to

@@ -304,7 +304,7 @@ def build_hierarchy(n, dx, ell_bc, aco, beta, alpha,
         N *= s
     if bottom == "dense" and N <= 4096:
         A = _bottom_dense_A(lb, is_singular(ell_bc, alpha))
-        levels[-1] = dataclasses.replace(lb, binv=jnp.linalg.inv(A))
+        levels[-1] = dataclasses.replace(lb, binv=dense_inv(A))
     return levels
 
 
@@ -572,8 +572,34 @@ def bottom_dense_solve(level: CCLevel, r, singular: bool):
     A = _bottom_dense_A(level, singular)
     if r.ndim > level.dm:
         rr = r.reshape(-1, N)
-        return jnp.linalg.solve(A, rr.T).T.reshape(r.shape)
-    return jnp.linalg.solve(A, r.ravel()).reshape(n)
+        return dense_solve(A, rr.T).T.reshape(r.shape)
+    return dense_solve(A, r.ravel()).reshape(n)
+
+
+def dense_inv(A):
+    """``jnp.linalg.inv`` with a TPU float64 fallback: XLA's TPU
+    LuDecomposition only implements F32/C64, so on non-CPU backends an f64
+    inverse is computed as an f32 LU inverse polished by Newton–Schulz
+    iterations in f64 (quadratic convergence: the ~1e-4 f32 residual on
+    these tiny, regularized coarse operators reaches f64 roundoff in <=3
+    steps)."""
+    if A.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
+        eye2 = 2.0 * jnp.eye(A.shape[0], dtype=A.dtype)
+        for _ in range(3):
+            X = X @ (eye2 - A @ X)
+        return X
+    return jnp.linalg.inv(A)
+
+
+def dense_solve(A, b):
+    """``jnp.linalg.solve`` with the same TPU float64 fallback as
+    dense_inv (one step of iterative refinement on top)."""
+    if A.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        X = dense_inv(A)
+        x = X @ b
+        return x + X @ (b - A @ x)
+    return jnp.linalg.solve(A, b)
 
 
 def _bottom_dense_A(level: CCLevel, singular: bool):
@@ -831,12 +857,12 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
             return p, kk + 1, mon2, mon, tl
 
         def ocond(carry):
-            p, k, rn, stalled = carry
+            p, k, rn, stall_ct = carry
             go = jnp.logical_and(k < max_cycles, rn > tol_eff(p))
-            return jnp.logical_and(go, jnp.logical_not(stalled))
+            return jnp.logical_and(go, stall_ct < 2)
 
         def obody(carry):
-            p, k, rn_prev, _ = carry
+            p, k, rn_prev, stall_ct = carry
             tl = tol_eff(p)
             p, mon = v_cycle(levels, p, rhs, bvals, 0, nu1, nu2, singular,
                              return_resnorm=True, bottom=bottom)
@@ -847,11 +873,15 @@ def solve(n, dx, ell_bc, aco, beta, rhs, *, alpha=0.0, bvals=None, phi0=None,
             # roundoff floor), NOT the in-cycle monitor: the monitor's
             # pre-smooth max-norm can transiently bounce on anisotropic
             # operators (red-black GS residual spikes in the weakly
-            # coupled direction) while the cycle still converges at ~0.2
-            return p, k, rn, rn > 0.9 * rn_prev
+            # coupled direction) while the cycle still converges at ~0.2.
+            # Require TWO consecutive non-contracting outers before cutting:
+            # a single 0.92-contraction pass on a hard anisotropic problem
+            # is slow convergence, not a floor (ADVICE r4).
+            stall_ct = jnp.where(rn > 0.9 * rn_prev, stall_ct + 1, 0)
+            return p, k, rn, stall_ct
 
         phi, iters, rn, _ = jax.lax.while_loop(
-            ocond, obody, (phi, jnp.array(0), rn0, jnp.array(False)))
+            ocond, obody, (phi, jnp.array(0), rn0, jnp.array(0)))
         return phi, rn, iters
 
     def skip_branch(phi):

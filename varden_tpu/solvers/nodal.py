@@ -434,7 +434,8 @@ def build_hierarchy(n, dx, pmask, sigma, mask) -> List[NodalLevel]:
         N *= s
     if N <= 4096:
         A = _bottom_dense_A(lb)
-        levels[-1] = dataclasses.replace(lb, binv=jnp.linalg.inv(A))
+        from .mg import dense_inv
+        levels[-1] = dataclasses.replace(lb, binv=dense_inv(A))
     return levels
 
 
@@ -506,7 +507,8 @@ def bottom_dense_solve(level: NodalLevel, r):
         out = (level.binv @ r.ravel()).reshape(shape)
     else:
         A = _bottom_dense_A(level)
-        out = jnp.linalg.solve(A, r.ravel()).reshape(shape)
+        from .mg import dense_solve
+        out = dense_solve(A, r.ravel()).reshape(shape)
     if level.mask is not None:
         out = out * level.mask
     return out

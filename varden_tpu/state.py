@@ -20,6 +20,10 @@ from .solvers import nodal
 from .config import OUTLET
 
 
+# dtypes of Sims built in this process (for the x64 global-flip warning)
+_SIM_DTYPES_SEEN = set()
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class State:
@@ -30,7 +34,12 @@ class State:
 
 
 class Sim:
-    """Static per-run context: geometry, BC tables, component maps."""
+    """Static per-run context: geometry, BC tables, component maps.
+
+    SIDE EFFECT: constructing a Sim with ``dtype="float64"`` enables
+    ``jax_enable_x64`` PROCESS-GLOBALLY (see __init__) — dtype promotion
+    changes for all JAX code in the process, including previously created
+    f32 sims/arrays. Enable x64 yourself at startup if you mix dtypes."""
 
     def __init__(self, cfg: VardenConfig):
         cfg.validate()
@@ -38,8 +47,19 @@ class Sim:
             # the reference is dp_t end-to-end (src/bl_types usage); without
             # this, every f64 request silently truncates to f32 at array
             # creation. On backends without f64 (TPU) this turns the silent
-            # truncation into a loud compile error instead.
+            # truncation into a loud compile error instead. NOTE: this flips
+            # the PROCESS-GLOBAL x64 flag (see class docstring); warn when a
+            # non-f64 Sim was built earlier in this process (its promotion
+            # semantics just changed under it) — a pure-f64 process is the
+            # normal reference-parity path and stays quiet.
+            if any(d != "float64" for d in _SIM_DTYPES_SEEN):
+                import warnings
+                warnings.warn(
+                    "varden_tpu: enabling jax_enable_x64 process-globally "
+                    "for a float64 Sim; f32 sims/arrays created earlier in "
+                    "this process now promote differently", stacklevel=2)
             jax.config.update("jax_enable_x64", True)
+        _SIM_DTYPES_SEEN.add(cfg.dtype)
         self.cfg = cfg
         self.dm = cfg.dm
         self.n_cell = cfg.n_cell

@@ -320,10 +320,80 @@ def cfg5_config(n5, dtype):
         bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15)
 
 
+def _setup_compile_cache():
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _cfg5_subprocess(n5, dtype, deadline):
+    """Run each cfg5 size attempt in a FRESH subprocess.
+
+    Round-4/5 lesson: after a real HBM OOM the (tunneled) TPU client is
+    wedged — every subsequent allocation in the same process fails with a
+    generic ResourceExhausted, so in-process fallbacks always "OOM" too.
+    Isolation guarantees a 3-D composite number ships whenever ANY size
+    fits (VERDICT r4 item 6)."""
+    import subprocess
+    results = {}
+    n = n5
+    while n >= 32:
+        key = (f"cfg5-amr3d-{n}-3lev" if n == n5
+               else f"cfg5-amr3d-{n}-3lev-fallback")
+        left = deadline - time.perf_counter()
+        if left < 60:
+            print(f"[bench] {key}: skipped (budget)", file=sys.stderr)
+            break
+        env = dict(os.environ, BENCH_SUBPROC_CFG5=str(n), BENCH_DTYPE=dtype)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=min(left, 1500))
+            sys.stderr.write(proc.stderr[-4000:])
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+                else "{}"
+            r = json.loads(line)
+        except subprocess.TimeoutExpired:
+            r = {"error": "timeout: cfg5 subprocess exceeded window"}
+        except Exception as e:
+            r = {"error": _short_err(e)}
+        r["name"] = key
+        results[key] = r
+        if "cells_per_s" in r:
+            print(f"[bench] {key}: {r['cells_per_s']:.3e} cells/s",
+                  file=sys.stderr)
+            break
+        print(f"[bench] {key} failed: {r.get('error')}", file=sys.stderr)
+        if not _is_oom(Exception(r.get("error", ""))) \
+                and "timeout" not in r.get("error", ""):
+            break
+        n //= 2
+    return results
+
+
 def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     if os.environ.get("VARDEN_CHECK_FUSED", ""):
         return check_fused(int(os.environ.get("BENCH_N", "128")), dtype)
+    sub_n = os.environ.get("BENCH_SUBPROC_CFG5", "")
+    if sub_n:
+        # child mode: ONE cfg5 size, result as one JSON line on stdout
+        _setup_compile_cache()
+        import contextlib
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                r = bench_ml_fixed(f"cfg5-amr3d-{sub_n}-3lev",
+                                   cfg5_config(int(sub_n), dtype), 1, 4)
+        except Exception as e:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({"error": _short_err(e)}))
+            return
+        print(json.dumps(r))
+        return
     if os.environ.get("BENCH_MODE", "") == "amr":
         # legacy alias: the 2-level fixed-hierarchy AMR composite step
         from varden_tpu.config import VardenConfig
@@ -345,11 +415,7 @@ def main():
 
     # persistent compile cache: the regrid bench replays hierarchy shape
     # sequences; caching makes reruns (and driver invocations) cheap
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _setup_compile_cache()
 
     only = os.environ.get("BENCH_CONFIGS", "")  # comma-separated key filter
     budget = float(os.environ.get("BENCH_BUDGET", "2400"))
@@ -362,8 +428,14 @@ def main():
         if time.perf_counter() - t_start > budget and headline is not None:
             skipped.append(key)
             continue
+        if key.startswith("cfg5"):
+            # cfg5 runs (with its halving fallback chain) in fresh
+            # subprocesses: an HBM OOM wedges the tunneled TPU client for
+            # the rest of the process, so in-process fallbacks always fail
+            results.update(_cfg5_subprocess(
+                int(key.split("-")[2]), dtype, t_start + budget + 300))
+            continue
         import contextlib
-        import gc
         err = None
         try:
             # stdout must stay a single JSON line: the driver-level STEP
@@ -378,44 +450,10 @@ def main():
         except Exception as e:  # OOM on small hosts etc.: report, move on
             import traceback
             traceback.print_exc(file=sys.stderr)
-            err = (_short_err(e), _is_oom(e))
+            err = _short_err(e)
         if err is not None:
-            # NOTE: fallbacks run OUTSIDE the except block and after a
-            # gc.collect(): the exception traceback pins bench_ml_fixed's
-            # frame — i.e. the ENTIRE failed 256^3 hierarchy stays alive in
-            # HBM while a retry runs (this is why every round-4 fallback
-            # size OOM'd too).
-            print(f"[bench] {key} failed: {err[0]}", file=sys.stderr)
-            results[key] = {"name": key, "error": err[0]}
-            gc.collect()
-            # cfg5 OOM fallback: halve N until a 3-D composite number ships
-            # (tracks AMR throughput round-over-round even if the flagship
-            # size regresses — VERDICT r4 item 6)
-            if key.startswith("cfg5") and err[1]:
-                n5 = int(key.split("-")[2])
-                while n5 > 32:
-                    n5 //= 2
-                    fkey = f"cfg5-amr3d-{n5}-3lev-fallback"
-                    ferr = None
-                    try:
-                        with contextlib.redirect_stdout(sys.stderr):
-                            r = bench_ml_fixed(fkey, cfg5_config(n5, dtype),
-                                               1, 4)
-                    except Exception as e2:
-                        import traceback
-                        traceback.print_exc(file=sys.stderr)
-                        ferr = (_short_err(e2), _is_oom(e2))
-                    gc.collect()
-                    if ferr is None:
-                        results[fkey] = r
-                        print(f"[bench] {fkey}: {r['cells_per_s']:.3e} "
-                              "cells/s", file=sys.stderr)
-                        break
-                    print(f"[bench] {fkey} failed: {ferr[0]}",
-                          file=sys.stderr)
-                    results[fkey] = {"name": fkey, "error": ferr[0]}
-                    if not ferr[1]:
-                        break
+            print(f"[bench] {key} failed: {err}", file=sys.stderr)
+            results[key] = {"name": key, "error": err}
             continue
         results[key] = r
         if key.startswith("headline"):

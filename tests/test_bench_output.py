@@ -35,6 +35,13 @@ def test_main_stdout_single_json_line_on_failure(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "bench_single", boom)
     monkeypatch.setattr(bench, "bench_ml_fixed", boom)
     monkeypatch.setattr(bench, "bench_ml_regrid", boom)
+    # cfg5 runs in subprocesses; fake the spawn so the unit test stays
+    # hermetic while exercising the result-parsing/error-bounding path
+    fake = type("P", (), {
+        "stdout": json.dumps(
+            {"error": bench._short_err(RuntimeError(big))}) + "\n",
+        "stderr": ""})()
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: fake)
     monkeypatch.setenv("BENCH_CONFIGS", "cfg1,cfg5")
     monkeypatch.setenv("BENCH_OUT_DIR", str(tmp_path))
     monkeypatch.chdir(tmp_path)

@@ -183,3 +183,66 @@ def test_2d_fused_matches_windowed(bc):
         interpret=True)
     for a, b in zip(out2, ref2):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-13
+
+
+@pytest.mark.parametrize("bc", [(15, 15, 15), (-1, -1, -1)])
+def test_mkflux_update_zero_synthesis(bc):
+    """None force/fupd/mac_rhs (statically-zero inputs synthesized in
+    VMEM) == passing explicit zero arrays. The production advance passes
+    None for mac_rhs always and for the scalar forces when diff_coef=0,
+    removing ~1.5 GiB of HBM zero buffers at 256^3 + 2 AMR levels."""
+    sim, u, force = _setup(bc)
+    dm, ng, n = sim.dm, sim.ng, sim.n_cell
+    from varden_tpu.advance import embed_faces
+    rng = np.random.RandomState(13)
+    umac = tuple(jnp.asarray(rng.rand(*[n[t] + (1 if t == d else 0)
+                                        for t in range(3)]) - 0.5)
+                 for d in range(3))
+    mac_pads = embed_faces(sim, umac, ng)
+    dt = 2e-3
+    state = problems.initdata(sim)
+    s = state.s + 0.05 * jnp.asarray(rng.rand(*state.s.shape))
+    adv = [sim.adv_bc[sim.scal_comp(i)] for i in range(sim.nscal)]
+    is_cons = [True] + [False] * (sim.nscal - 1)
+    s_pad = sim.fill_scal(s)
+    zf_pad = sim.fill_extrap(jnp.zeros_like(s), ng)
+    zrhs_pad = sim.fill_extrap(jnp.zeros(n, sim.dtype), ng)
+    zfupd = jnp.zeros((s.shape[0],) + tuple(n), sim.dtype)
+
+    ref = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, zf_pad, zfupd, zrhs_pad, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, False, is_cons, sim.cfg.slope_order, False,
+        interpret=True)
+    out = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, None, None, None, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, False, is_cons, sim.cfg.slope_order, False,
+        interpret=True)
+    # few-ulp bound, not == 0: skipping the +0 terms changes the op tree,
+    # and XLA codegen (FMA contraction; cached executables from another
+    # host's machine features) may round the SAME value differently by 1 ulp
+    TOL = 5e-15
+    assert float(jnp.max(jnp.abs(out - ref))) < TOL
+    # flux-emitting variant too (the ML scalar advance path)
+    ref2, rfl = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, zf_pad, zfupd, zrhs_pad, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, False, is_cons, sim.cfg.slope_order, False,
+        flux_comps=(0,), interpret=True)
+    out2, ofl = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, None, None, None, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, False, is_cons, sim.cfg.slope_order, False,
+        flux_comps=(0,), interpret=True)
+    assert float(jnp.max(jnp.abs(out2 - ref2))) < TOL
+    for d in range(3):
+        assert float(jnp.max(jnp.abs(ofl[d] - rfl[d]))) < TOL
+    # mixed: real force, zero rhs/fupd (the velocity-advance pattern)
+    f_pad = sim.fill_extrap(0.3 * jnp.asarray(
+        rng.rand(*s.shape) - 0.5), ng)
+    ref3 = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, f_pad, zfupd, zrhs_pad, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, False, is_cons, sim.cfg.slope_order, True,
+        interpret=True)
+    out3 = pallas_godunov.mkflux_update_3d_fused(
+        s_pad, mac_pads, f_pad, None, None, dt, sim.dx, sim.phys_bc,
+        adv, ng, n, False, is_cons, sim.cfg.slope_order, True,
+        interpret=True)
+    assert float(jnp.max(jnp.abs(out3 - ref3))) < TOL

@@ -29,8 +29,20 @@ cfg = VardenConfig(
     bcx_lo=15, bcx_hi=15, bcy_lo=15, bcy_hi=15, bcz_lo=15, bcz_hi=15)
 sim = Sim(cfg)
 
-with jax.default_device(jax.devices("cpu")[0]):
-    geom, _states = regrid_mod.initialize_adaptive(sim)
+if os.environ.get("MEMPROBE_FIXED_TREE", ""):
+    # skip the ~15-min eager CPU hierarchy init: cfg5's adaptive tree is
+    # deterministic (verified by a prior run of this tool)
+    from varden_tpu.amr.fill import MLGeom
+    from varden_tpu.amr.hierarchy import LevelSpec
+    assert N == 256, "fixed tree recorded for N=256 only"
+    geom = MLGeom(sim, [
+        LevelSpec(lo=(0, 0, 0), n=(256, 256, 256)),
+        LevelSpec(lo=(136, 136, 136), n=(240, 240, 240)),
+        LevelSpec(lo=(320, 320, 320), n=(384, 384, 384))],
+        parent=[-1, 0, 1], depth=[0, 1, 2])
+else:
+    with jax.default_device(jax.devices("cpu")[0]):
+        geom, _states = regrid_mod.initialize_adaptive(sim)
 print("tree:", [(geom.depth[i], geom.specs[i].lo, geom.specs[i].n)
                 for i in range(geom.nlev)], flush=True)
 tot = sum(int(jnp.prod(jnp.asarray(s.n))) for s in geom.specs)

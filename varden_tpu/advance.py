@@ -170,9 +170,14 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                                 dt, dx, is_cons)
         elif fused:
             # fused mkflux + update: faces never touch HBM (see
-            # pallas_godunov.mkflux_update_3d_fused)
+            # pallas_godunov.mkflux_update_3d_fused). mac_rhs is
+            # identically zero in this app, and with diff_coef=0 both
+            # scalar forces are too: pass None so the kernel synthesizes
+            # the zeros in VMEM instead of reading real HBM buffers.
+            have_sf = cfg.diff_coef > 0.0
             snew = pallas_godunov.mkflux_update_3d_fused(
-                s_pad, mac_pads, sf_pad, scal_force_half, mrhs_pad, dt, dx,
+                s_pad, mac_pads, sf_pad if have_sf else None,
+                scal_force_half if have_sf else None, None, dt, dx,
                 sim.phys_bc, adv_bc_scal, ng, n, False, is_cons,
                 cfg.slope_order, cfg.use_minion)
         else:
@@ -216,7 +221,7 @@ def advance_timestep(sim: Sim, state: State, dt, proj_type: int,
                                 vel_force_half, dt, dx, vel_is_cons)
         elif fused:
             unew = pallas_godunov.mkflux_update_3d_fused(
-                u_pad, mac_pads, uf_pad, vel_force_half, mrhs_pad, dt, dx,
+                u_pad, mac_pads, uf_pad, vel_force_half, None, dt, dx,
                 sim.phys_bc, adv_bc_vel, ng, n, True, vel_is_cons,
                 cfg.slope_order, cfg.use_minion)
         else:

@@ -451,9 +451,15 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
                                        is_cons))
             sflux_own_l.append((fx[cons_idx], fy[cons_idx]))
         elif fused_l[l]:
+            # mac_rhs is identically zero; with diff_coef=0 the scalar
+            # forces are too — None lets the kernel synthesize the zeros
+            # in VMEM (full-size HBM zero buffers cost ~1.5 GiB across a
+            # 256^3 3-level hierarchy)
+            have_sf = cfg.diff_coef > 0.0
             out = pallas_godunov.mkflux_update_3d_fused(
-                s_pads[l], mac_pads_l[l], sf_pads[l], sf2_l[l],
-                mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_scal, ng,
+                s_pads[l], mac_pads_l[l], sf_pads[l] if have_sf else None,
+                sf2_l[l] if have_sf else None,
+                None, dt, geom.dx(l), pb, adv_bc_scal, ng,
                 geom.specs[l].n, False, is_cons, cfg.slope_order,
                 cfg.use_minion,
                 flux_comps=tuple(cons_idx) if need_flux else ())
@@ -556,7 +562,7 @@ def ml_advance(geom: MLGeom, states: List[State], dt, proj_type: int,
         elif fused_l[l]:
             unew_l.append(pallas_godunov.mkflux_update_3d_fused(
                 u_padsv[l], mac_pads_l[l], vf_padsv[l], vfh_l[l],
-                mrhs_pads[l], dt, geom.dx(l), pb, adv_bc_vel, ng,
+                None, dt, geom.dx(l), pb, adv_bc_vel, ng,
                 geom.specs[l].n, True, vel_is_cons, cfg.slope_order,
                 cfg.use_minion))
         else:

@@ -253,9 +253,13 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
     def skip_bc(axis, side):
         return bc_sides is not None and (axis, side) not in bc_sides
 
+    # force / mac_rhs may be None (statically zero): their terms are skipped
+    # algebraically — adding a broadcast-zero array inside a Pallas kernel
+    # trips a Mosaic lowering crash, and the skipped ops are free
     sw = [full(s[c], dm) for c in range(nc)]
-    fw = [full(force[c], dm) for c in range(nc)]
-    mrw = full(mac_rhs, dm)
+    fw = ([full(force[c], dm) for c in range(nc)]
+          if force is not None else None)
+    mrw = full(mac_rhs, dm) if mac_rhs is not None else None
 
     if slopes is None:
         slopes = [[slope(s[c], a, ng, adv_bc[c][a][0], adv_bc[c][a][1],
@@ -309,7 +313,7 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
 
     for c in range(nc):
         sc = sw[c]
-        fc = fw[c]
+        fc = fw[c] if fw is not None else None
         cons = is_conservative[c]
 
         # stage 1: hat states
@@ -320,10 +324,10 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
             l = (sc + 0.5 * sl_a).shift(a, -1) - (dt2 / dx[a]) * adv * \
                 sl_a.shift(a, -1)
             r = sc - (0.5 + dt2 * adv / dx[a]) * sl_a
-            if use_minion:
+            if use_minion and fc is not None:
                 l = l + dt2 * fc.shift(a, -1)
                 r = r + dt2 * fc
-            if use_minion and cons:
+            if use_minion and cons and mrw is not None:
                 l = l - dt2 * (sc * mrw).shift(a, -1)
                 r = r - dt2 * sc * mrw
             l, r = face_bc(l, r, a, c, sc)
@@ -370,10 +374,10 @@ def mkflux_3d(s: jnp.ndarray, mac_pads: Sequence[jnp.ndarray],
                     corr = term if corr is None else corr + term
             el = sls[a] - corr.shift(a, -1)
             er = srs[a] - corr
-            if not use_minion:
+            if (not use_minion) and fc is not None:
                 el = el + dt2 * fc.shift(a, -1)
                 er = er + dt2 * fc
-            if (not use_minion) and cons:
+            if (not use_minion) and cons and mrw is not None:
                 el = el - dt2 * (sc * mrw).shift(a, -1)
                 er = er - dt2 * sc * mrw
             edge = _riemann_transverse_w(el, er, macw[a], eps)

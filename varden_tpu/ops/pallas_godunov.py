@@ -559,7 +559,8 @@ def mkflux_3d_fused(s, mac_pads, force, mac_rhs, dt, dx, phys_bc, adv_bc,
 
 def _update_vals(sold, umac, sedge, sflux, fupd, dt, dx, is_cons):
     """The update math on plain arrays (bitwise the jnp branch of
-    basic.update; reference update_3d, src/update.f90:186-278)."""
+    basic.update; reference update_3d, src/update.f90:186-278).
+    ``fupd`` may be None (statically-zero update force)."""
     dm = len(umac)
     from .basic import _fdiff, _fmean
     ubar = [_fmean(umac[d], d, dm) for d in range(dm)]
@@ -570,7 +571,10 @@ def _update_vals(sold, umac, sedge, sflux, fupd, dt, dx, is_cons):
         else:
             adv = sum(ubar[d] * _fdiff(sedge[d][c], d, dm) / dx[d]
                       for d in range(dm))
-        out.append(sold[c] - dt * adv + dt * fupd[c])
+        val = sold[c] - dt * adv
+        if fupd is not None:
+            val = val + dt * fupd[c]
+        out.append(val)
     return jnp.stack(out)
 
 
@@ -584,20 +588,35 @@ def _mac_interior(macs, ng, n_cell):
     return out
 
 
-def _mkflux_update_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref,
-                          fupd_ref, scal_ref, snew_ref, *out_refs,
+def _mkflux_update_kernel(*refs,
                           dx, ng, tx, ty, tz, phys_bc, adv_bc, is_vel,
                           is_cons, slope_order, use_minion, bc_sides,
+                          have_force, have_rhs, have_fupd,
                           flux_idx=(), yface=0):
     """snew per tile; with ``flux_idx`` also emits the conservative fluxes
     (fx/fy/fz out_refs) for the AMR flux registers (ml_edge_restriction_c,
-    mkflux.f90:137-146)."""
+    mkflux.f90:137-146).
+
+    Statically-zero inputs (force / mac_rhs / update force) are SYNTHESIZED
+    in VMEM instead of read: this app's mac_rhs is identically zero and with
+    diff_coef=0 both scalar forces are too — as HBM inputs they cost real
+    buffers (~1.5 GiB across a 256^3 3-level hierarchy) and kernel read
+    bandwidth for arrays of zeros."""
+    it = iter(refs)
+    s_ref = next(it)
+    mx_ref, my_ref, mz_ref = next(it), next(it), next(it)
+    f_ref = next(it) if have_force else None
+    rhs_ref = next(it) if have_rhs else None
+    fupd_ref = next(it) if have_fupd else None
+    scal_ref = next(it)
+    snew_ref = next(it)
+    out_refs = tuple(it)
     cut = (slice(None), slice(None), slice(0, ty + 2 * ng), slice(None))
     s = s_ref[cut]
-    f = f_ref[cut]
+    f = f_ref[cut] if have_force else None
     cut3 = cut[1:]
     macs = [mx_ref[cut3], my_ref[cut3], mz_ref[cut3]]
-    rhs = rhs_ref[cut3]
+    rhs = rhs_ref[cut3] if have_rhs else None
     dt = scal_ref[0]
     eps = scal_ref[1]
     n_cell = (tx, ty, tz)
@@ -608,7 +627,8 @@ def _mkflux_update_kernel(s_ref, mx_ref, my_ref, mz_ref, f_ref, rhs_ref,
     umac = _mac_interior(macs, ng, n_cell)
     sold = s[(slice(None),) + tuple(slice(ng, ng + n_cell[t])
                                     for t in range(3))]
-    snew_ref[...] = _update_vals(sold, umac, sedge, sflux, fupd_ref[...],
+    fupd = fupd_ref[...] if have_fupd else None
+    snew_ref[...] = _update_vals(sold, umac, sedge, sflux, fupd,
                                  dt, dx, is_cons)
     if flux_idx:
         # static per-row selection (an index ARRAY would be captured as a
@@ -631,11 +651,19 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
 
     ``flux_comps``: component indices whose conservative fluxes the AMR
     flux registers need (ml_edge_restriction_c); when non-empty, returns
-    (snew, sflux) with sflux[d] of shape (len(flux_comps), faces)."""
+    (snew, sflux) with sflux[d] of shape (len(flux_comps), faces).
+
+    ``force``, ``fupd`` and ``mac_rhs`` may each be None, meaning
+    statically zero: the kernel synthesizes the zeros in VMEM instead of
+    reading full-size HBM buffers of zeros (mac_rhs is identically zero in
+    this application; the scalar forces are when diff_coef=0)."""
     nc = s.shape[0]
     n0, n1, n2 = n_cell
     dtype = s.dtype
     flux_comps = tuple(flux_comps)
+    have_force = force is not None
+    have_fupd = fupd is not None
+    have_rhs = mac_rhs is not None
 
     macw = mac_wins(mac_pads, ng, n_cell)
     umax = jnp.max(jnp.stack([jnp.max(jnp.abs(m.arr)) for m in macw]))
@@ -682,7 +710,9 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
             tz=p.tz, phys_bc=pbc, adv_bc=adv_k, is_vel=is_vel,
             is_cons=tuple(is_conservative[c] for c in grp),
             slope_order=slope_order, use_minion=use_minion,
-            bc_sides=bc_sides, flux_idx=fidx, yface=yface)
+            bc_sides=bc_sides, have_force=have_force, have_rhs=have_rhs,
+            have_fupd=have_fupd, flux_idx=fidx, yface=yface)
+        tags = [t for t, _ in ins]
         if grid2:
             # interior force block: element-indexed (the x offset SLAB is
             # not a tile multiple), y offset keeps the multiply outermost
@@ -692,9 +722,11 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
                 lambda i, j: (0, p.xl + i * p.tx, (j + yoff) * TY, 0),
                 memory_space=pltpu.VMEM)
             grid = (p.nxt, p.nyt)
-            in_specs = [_in_spec(p, ncg), _in_spec(p), _in_spec(p),
-                        _in_spec(p), _in_spec(p, ncg), _in_spec(p), fspec,
-                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+            spec_by_tag = {"s": _in_spec(p, ncg), "m": _in_spec(p),
+                           "f": _in_spec(p, ncg), "r": _in_spec(p),
+                           "fu": fspec,
+                           "scal": pl.BlockSpec(memory_space=pltpu.SMEM)}
+            in_specs = [spec_by_tag[t] for t in tags]
             out_specs = [_out_spec(p, ncg)]
             out_shape = [_out_shape(p, dtype, ncg)]
             if nf:
@@ -722,9 +754,10 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
                  pl.Element(p.tz)),
                 lambda i: (0, p.xl + i * p.tx, 0, 0),
                 memory_space=pltpu.VMEM)
-            in_specs = [espec(ncg), espec(), espec(), espec(), espec(ncg),
-                        espec(), fspec,
-                        pl.BlockSpec(memory_space=pltpu.SMEM)]
+            spec_by_tag = {"s": espec(ncg), "m": espec(), "f": espec(ncg),
+                           "r": espec(), "fu": fspec,
+                           "scal": pl.BlockSpec(memory_space=pltpu.SMEM)}
+            in_specs = [spec_by_tag[t] for t in tags]
 
             def ospec(lead, yr, zf=0):
                 return pl.BlockSpec((lead, p.tx, yr, p.tz + zf),
@@ -745,7 +778,7 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
         res = pl.pallas_call(
             kern, grid=grid, out_shape=out_shape, in_specs=in_specs,
             out_specs=out_specs, compiler_params=cp, interpret=interpret,
-        )(*ins)
+        )(*[a for _, a in ins])
         return res if nf else (res[0],)
 
     outs_c, slab_c = [], []
@@ -753,24 +786,32 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
         ncg = len(grp)
         adv_g = tuple(tuple(tuple(a) for a in adv_bc[c]) for c in grp)
         gs = slice(grp[0], grp[-1] + 1)
-        ins = (s[gs], mac_pads[0], mac_pads[1], mac_pads[2], force[gs],
-               mac_rhs, fupd[gs], scal)
+        ins = [("s", s[gs]), ("m", mac_pads[0]), ("m", mac_pads[1]),
+               ("m", mac_pads[2])]
+        if have_force:
+            ins.append(("f", force[gs]))
+        if have_rhs:
+            ins.append(("r", mac_rhs))
+        if have_fupd:
+            ins.append(("fu", fupd[gs]))
+        ins.append(("scal", scal))
         outs_c.append(call(ins, grp, TY, _interior_adv_bc(adv_g, ncg), BC_Z,
                            0, True))
         per_side = {}
         for side, ty in ((0, p.yl), (1, p.yh)):
             ins_s = []
-            for ai, a in enumerate(ins):
-                if ai == 6:  # fupd: interior-sized, slice rows w/o halo
+            for tag, a in ins:
+                if tag == "fu":  # fupd: interior-sized, slice rows w/o halo
                     n1_ = a.shape[2]
-                    ins_s.append(_take(a, 2, slice(0, ty) if side == 0
-                                       else slice(n1_ - ty, n1_)))
-                elif a.ndim >= 3:
-                    ins_s.append(_yslab_take(a, side, ty, ng, a.ndim - 3))
+                    ins_s.append((tag, _take(a, 2, slice(0, ty) if side == 0
+                                             else slice(n1_ - ty, n1_))))
+                elif tag == "scal":
+                    ins_s.append((tag, a))
                 else:
-                    ins_s.append(a)
+                    ins_s.append((tag, _yslab_take(a, side, ty, ng,
+                                                   a.ndim - 3)))
             bcs = frozenset({(1, side)} | BC_Z)
-            per_side[side] = call(tuple(ins_s), grp, ty,
+            per_side[side] = call(ins_s, grp, ty,
                                   _y_slab_adv_bc(adv_g, side, ncg), bcs,
                                   1 if side == 1 else 0, False)
         slab_c.append(per_side)
@@ -789,8 +830,10 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
         i0 = 0 if side == 0 else n0 - width
         ss = _crop_pad(s, 0, i0, i0 + width, ng)
         ms = [_crop_pad(m, 0, i0, i0 + width, ng) for m in mac_pads]
-        fs = _crop_pad(force, 0, i0, i0 + width, ng)
-        rs = _crop_pad(mac_rhs, 0, i0, i0 + width, ng)
+        fs = (_crop_pad(force, 0, i0, i0 + width, ng) if have_force
+              else None)
+        rs = (_crop_pad(mac_rhs, 0, i0, i0 + width, ng) if have_rhs
+              else None)
         ncs = (width, n1, n2)
         sedge, sflux = godunov3d.mkflux_3d(
             ss, ms, fs, rs, dt, dx, phys_bc,
@@ -800,7 +843,8 @@ def mkflux_update_3d_fused(s, mac_pads, force, fupd, mac_rhs, dt, dx,
         umac = _mac_interior(ms, ng, ncs)
         sold = ss[(slice(None),) + tuple(slice(ng, ng + ncs[t])
                                          for t in range(3))]
-        fu = _take(fupd, 1, slice(i0, i0 + width))
+        fu = (_take(fupd, 1, slice(i0, i0 + width)) if have_fupd
+              else None)
         snew = _update_vals(sold, umac, sedge, sflux, fu, dt, dx,
                             is_conservative)
         if flux_comps:
